@@ -1,0 +1,297 @@
+"""Batched analytic collision detection.
+
+Replaces the PhysX GPU broadphase/narrowphase (SURVEY.md §2.10 row 1). The
+candidate-contact set is *static* (fixed shapes under jit, SURVEY.md §7 hard
+part 1): every geom contributes a fixed number of candidate contacts against
+the terrain, plus an optional static list of geom-geom pairs. Inactive
+candidates carry ``depth <= 0`` and are masked in the solver — no ``nonzero``
+style data-dependent shapes anywhere.
+
+Terrain is either an infinite plane at z=0 or a height field sampled with
+bilinear interpolation (the TPU-friendly representation — SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import math as math_utils
+from .kinematics import Kinematics
+from .model import (
+    GEOM_BOX,
+    GEOM_CAPSULE,
+    GEOM_CYLINDER,
+    GEOM_SPHERE,
+    RobotModel,
+)
+
+
+class HeightField(NamedTuple):
+    """Uniform-grid terrain height field.
+
+    ``heights``: (rows, cols) z values; x spans rows, y spans cols, cell size
+    ``horizontal_scale``; grid origin (world x,y of heights[0,0]) at ``origin``.
+    """
+
+    heights: jnp.ndarray
+    horizontal_scale: float
+    origin: jnp.ndarray  # (2,)
+
+    def sample(self, xy):
+        """Bilinear height lookup at world (..., 2) positions; O(1) per query,
+        the TPU answer to Warp's BVH raycast for terrain (SURVEY.md §2.10)."""
+        rel = (xy - self.origin) / self.horizontal_scale
+        r, c = rel[..., 0], rel[..., 1]
+        nr, nc = self.heights.shape
+        r = jnp.clip(r, 0.0, nr - 1.001)
+        c = jnp.clip(c, 0.0, nc - 1.001)
+        r0 = jnp.floor(r).astype(jnp.int32)
+        c0 = jnp.floor(c).astype(jnp.int32)
+        fr, fc = r - r0, c - c0
+        h00 = self.heights[r0, c0]
+        h10 = self.heights[r0 + 1, c0]
+        h01 = self.heights[r0, c0 + 1]
+        h11 = self.heights[r0 + 1, c0 + 1]
+        return (
+            h00 * (1 - fr) * (1 - fc)
+            + h10 * fr * (1 - fc)
+            + h01 * (1 - fr) * fc
+            + h11 * fr * fc
+        )
+
+    def normal(self, xy, eps: float = 0.05):
+        """Finite-difference surface normal at world (..., 2) positions."""
+        dx = jnp.stack([jnp.full_like(xy[..., 0], eps), jnp.zeros_like(xy[..., 0])], -1)
+        dy = jnp.stack([jnp.zeros_like(xy[..., 0]), jnp.full_like(xy[..., 0], eps)], -1)
+        gx = (self.sample(xy + dx) - self.sample(xy - dx)) / (2 * eps)
+        gy = (self.sample(xy + dy) - self.sample(xy - dy)) / (2 * eps)
+        n = jnp.stack([-gx, -gy, jnp.ones_like(gx)], axis=-1)
+        return math_utils.normalize(n)
+
+
+class Contacts(NamedTuple):
+    """Fixed-size candidate contact set for one env instance."""
+
+    pos: jnp.ndarray  # (ncon, 3) contact point, world
+    normal: jnp.ndarray  # (ncon, 3) contact normal (world, pointing from b->a)
+    depth: jnp.ndarray  # (ncon,) penetration depth (>0 = touching)
+    body_a: np.ndarray  # (ncon,) static body index (robot side)
+    body_b: np.ndarray  # (ncon,) static body index of other side (-1 = world)
+    friction: jnp.ndarray  # (ncon,)
+    restitution: jnp.ndarray  # (ncon,)
+
+
+def _geom_world_pose(kin: Kinematics, geom):
+    b = geom.body
+    pos, quat = math_utils.combine_frame_transforms(
+        kin.body_pos_w[b],
+        kin.body_quat_w[b],
+        jnp.asarray(geom.pos),
+        jnp.asarray(geom.quat),
+    )
+    return pos, quat
+
+
+def _terrain_height_normal(terrain, xy):
+    if terrain is None:
+        h = jnp.zeros(xy.shape[:-1])
+        n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), xy.shape[:-1] + (3,))
+        return h, n
+    return terrain.sample(xy), terrain.normal(xy)
+
+
+def _ground_candidates_for_geom(geom, pos, quat, terrain):
+    """List of (point_on_geom_surface_lowest, radius_offset) ground probes.
+
+    Returns (points (k,3), offsets (k,)): contact depth at probe p with
+    effective radius r is ``(h_terrain - (p_z)) + r`` measured along the
+    terrain normal (approximated vertically for shallow slopes).
+    """
+    if geom.gtype == GEOM_SPHERE:
+        return pos[None, :], jnp.array([geom.size[0]])
+    if geom.gtype in (GEOM_CAPSULE, GEOM_CYLINDER):
+        r, hl = geom.size[0], geom.size[1]
+        axis = math_utils.quat_apply(quat, jnp.array([0.0, 0.0, 1.0]))
+        ends = jnp.stack([pos + axis * hl, pos - axis * hl])
+        return ends, jnp.array([r, r])
+    if geom.gtype == GEOM_BOX:
+        hx, hy, hz = geom.size
+        corners_local = jnp.array(
+            [
+                [sx * hx, sy * hy, sz * hz]
+                for sx in (-1, 1)
+                for sy in (-1, 1)
+                for sz in (-1, 1)
+            ]
+        )
+        corners = pos[None, :] + math_utils.quat_apply(quat[None, :], corners_local)
+        return corners, jnp.zeros(8)
+    raise NotImplementedError(f"ground contact for geom type {geom.gtype}")
+
+
+def num_ground_candidates(geom) -> int:
+    return {GEOM_SPHERE: 1, GEOM_CAPSULE: 2, GEOM_CYLINDER: 2, GEOM_BOX: 8}[geom.gtype]
+
+
+def _pair_contact(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
+    """Single deepest contact between two convex primitives (sphere/capsule
+    treated as swept spheres; box approximated by closest-point clamp)."""
+
+    def seg(geom, pos, quat):
+        if geom.gtype == GEOM_SPHERE:
+            return pos, pos, geom.size[0]
+        if geom.gtype in (GEOM_CAPSULE, GEOM_CYLINDER):
+            axis = math_utils.quat_apply(quat, jnp.array([0.0, 0.0, 1.0]))
+            hl = geom.size[1]
+            return pos - axis * hl, pos + axis * hl, geom.size[0]
+        return None
+
+    sa, sb = seg(geom_a, pos_a, quat_a), seg(geom_b, pos_b, quat_b)
+    if sa is not None and sb is not None:
+        p_a, p_b = _closest_segment_points(sa[0], sa[1], sb[0], sb[1])
+        ra, rb = sa[2], sb[2]
+        delta = p_a - p_b
+        dist = jnp.linalg.norm(delta)
+        normal = delta / jnp.maximum(dist, 1e-9)  # points from b to a
+        depth = (ra + rb) - dist
+        point = p_b + normal * (rb - depth * 0.5)
+        return point, normal, depth
+    # sphere/capsule vs box: clamp segment midpoint-projected closest point
+    if geom_b.gtype == GEOM_BOX and sa is not None:
+        return _sphere_like_vs_box(sa, geom_b, pos_b, quat_b)
+    if geom_a.gtype == GEOM_BOX and sb is not None:
+        point, normal, depth = _sphere_like_vs_box(sb, geom_a, pos_a, quat_a)
+        return point, -normal, depth
+    raise NotImplementedError(
+        f"pair contact {geom_a.gtype} vs {geom_b.gtype} not supported"
+    )
+
+
+def _sphere_like_vs_box(seg, box, box_pos, box_quat):
+    """Capsule/sphere segment vs box: closest point on box to the segment's
+    closest point (two-pass clamp; exact for spheres, good approx for capsules)."""
+    half = jnp.asarray(box.size)
+    # work in box frame
+    a = math_utils.quat_apply_inverse(box_quat, seg[0] - box_pos)
+    b = math_utils.quat_apply_inverse(box_quat, seg[1] - box_pos)
+    r = seg[2]
+    # closest point on segment to box center, then clamp to box
+    mid = _closest_point_on_segment(a, b, jnp.zeros(3))
+    clamped = jnp.clip(mid, -half, half)
+    p_seg = _closest_point_on_segment(a, b, clamped)
+    clamped = jnp.clip(p_seg, -half, half)
+    delta = p_seg - clamped
+    dist = jnp.linalg.norm(delta)
+    inside = dist < 1e-9
+    # if center inside box, push out along minimal axis
+    face_dist = half - jnp.abs(p_seg)
+    k = jnp.argmin(face_dist)
+    sign = jnp.sign(p_seg)[k]
+    n_inside = jnp.zeros(3).at[k].set(jnp.where(sign == 0, 1.0, sign))
+    depth_inside = r + face_dist[k]
+    n_outside = delta / jnp.maximum(dist, 1e-9)
+    depth_outside = r - dist
+    normal_box = jnp.where(inside, n_inside, n_outside)
+    depth = jnp.where(inside, depth_inside, depth_outside)
+    normal = math_utils.quat_apply(box_quat, normal_box)
+    point = math_utils.quat_apply(box_quat, clamped) + box_pos
+    return point, normal, depth
+
+
+def _closest_point_on_segment(a, b, p):
+    ab = b - a
+    t = jnp.dot(p - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-12)
+    return a + jnp.clip(t, 0.0, 1.0) * ab
+
+
+def _closest_segment_points(a0, a1, b0, b1):
+    """Closest points between two segments (standard clamped solve)."""
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-12, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, 1e-12)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip(jnp.where(jnp.abs(t - t_cl) > 0, (b * t_cl - c) / jnp.maximum(a, 1e-12), s), 0.0, 1.0)
+    return a0 + d1 * s, b0 + d2 * t_cl
+
+
+class CollisionPlan:
+    """Static collision plan for one model + terrain config.
+
+    Host-built once at env-construction time: enumerates ground candidates per
+    geom and the explicit geom-geom pair list; total contact count is static.
+    """
+
+    def __init__(self, model: RobotModel, pairs=None, with_ground: bool = True):
+        self.model = model
+        self.with_ground = with_ground
+        self.pairs = list(pairs) if pairs else []
+        self.ground_geoms = list(model.geoms) if with_ground else []
+        self.ncon = sum(num_ground_candidates(g) for g in self.ground_geoms) + len(
+            self.pairs
+        )
+
+    def detect(self, kin: Kinematics, terrain=None) -> Contacts:
+        """Compute all candidate contacts for one env instance."""
+        pos_list, nrm_list, depth_list = [], [], []
+        body_a, body_b, fric, rest = [], [], [], []
+
+        for g in self.ground_geoms:
+            gp, gq = _geom_world_pose(kin, g)
+            probes, radii = _ground_candidates_for_geom(g, gp, gq, terrain)
+            h, n = _terrain_height_normal(terrain, probes[..., :2])
+            # signed distance of probe center above the surface, measured along
+            # the surface normal (vertical-gap * n_z approximation, exact for
+            # flat ground): depth > 0 means the swept sphere penetrates.
+            depth = radii - (probes[..., 2] - h) * n[..., 2]
+            point = probes - n * radii[..., None]
+            for k in range(probes.shape[0]):
+                pos_list.append(point[k])
+                nrm_list.append(n[k])
+                depth_list.append(depth[k])
+                body_a.append(g.body)
+                body_b.append(-1)
+                fric.append(g.friction)
+                rest.append(g.restitution)
+
+        for ga, gb in self.pairs:
+            pa, qa = _geom_world_pose(kin, ga)
+            pb, qb = _geom_world_pose(kin, gb)
+            point, normal, depth = _pair_contact(ga, pa, qa, gb, pb, qb)
+            pos_list.append(point)
+            nrm_list.append(normal)
+            depth_list.append(depth)
+            body_a.append(ga.body)
+            body_b.append(gb.body)
+            fric.append(0.5 * (ga.friction + gb.friction))
+            rest.append(max(ga.restitution, gb.restitution))
+
+        if not pos_list:
+            return Contacts(
+                pos=jnp.zeros((0, 3)),
+                normal=jnp.zeros((0, 3)),
+                depth=jnp.zeros((0,)),
+                body_a=np.zeros(0, dtype=np.int32),
+                body_b=np.zeros(0, dtype=np.int32),
+                friction=jnp.zeros((0,)),
+                restitution=jnp.zeros((0,)),
+            )
+        return Contacts(
+            pos=jnp.stack(pos_list),
+            normal=jnp.stack(nrm_list),
+            depth=jnp.stack(depth_list),
+            body_a=np.asarray(body_a, dtype=np.int32),
+            body_b=np.asarray(body_b, dtype=np.int32),
+            friction=jnp.asarray(fric),
+            restitution=jnp.asarray(rest),
+        )

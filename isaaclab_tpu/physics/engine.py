@@ -1,0 +1,242 @@
+"""The batched physics engine: state pytrees and the jitted step function.
+
+TPU-native replacement for ``SimulationContext.step`` + PhysX solve (reference
+``sim/simulation_context.py:530``, SURVEY.md §2.2/§2.10): a pure function
+``step(model, state, drive, ...) -> state`` specialized per robot model,
+vmapped over the env batch axis, designed to live inside ``lax.scan``.
+
+Pipeline per step (all fixed-shape):
+  FK -> CRBA (+armature, +implicit-drive diagonal) -> RNEA bias ->
+  joint-drive torque -> unconstrained velocity -> collision detect ->
+  projected-Jacobi impulse solve (contacts + limits) -> semi-implicit
+  integration (quaternion exp for free joints).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import math as math_utils
+from . import spatial
+from .collision import CollisionPlan, Contacts
+from .dynamics import crba, rnea_bias
+from .kinematics import Kinematics, forward_kinematics
+from .model import JOINT_FREE, JOINT_PRISMATIC, JOINT_REVOLUTE, RobotModel
+from .solver import SolverCfg, SolveResult, solve_constraints
+
+
+class JointDrive(NamedTuple):
+    """Per-articulated-dof drive targets — the PhysX implicit joint drive
+    equivalent (reference articulation.py:196-200 pushes these as
+    set_dof_position_targets / velocity_targets / actuation_forces)."""
+
+    kp: jnp.ndarray  # (nu,) stiffness
+    kd: jnp.ndarray  # (nu,) damping
+    pos_target: jnp.ndarray  # (nu,)
+    vel_target: jnp.ndarray  # (nu,)
+    effort: jnp.ndarray  # (nu,) feed-forward torque (explicit actuators)
+
+    @staticmethod
+    def zero(nu: int) -> "JointDrive":
+        z = jnp.zeros(nu)
+        return JointDrive(kp=z, kd=z, pos_target=z, vel_target=z, effort=z)
+
+
+class BodyParams(NamedTuple):
+    """Per-env randomizable physical parameters (event-manager targets:
+    reference envs/mdp/events.py mass/material randomization)."""
+
+    mass: jnp.ndarray  # (nbody,)
+    inertia: jnp.ndarray  # (nbody, 3, 3)
+    com: jnp.ndarray  # (nbody, 3)
+    armature: jnp.ndarray  # (nu,)
+    damping: jnp.ndarray  # (nu,) passive joint damping
+    friction_scale: jnp.ndarray  # () contact friction multiplier
+    limit_lower: jnp.ndarray  # (nu,)
+    limit_upper: jnp.ndarray  # (nu,)
+
+    @staticmethod
+    def from_model(model: RobotModel) -> "BodyParams":
+        return BodyParams(
+            mass=jnp.asarray(model.mass),
+            inertia=jnp.asarray(model.inertia),
+            com=jnp.asarray(model.com),
+            armature=jnp.asarray(model.dof_armature),
+            damping=jnp.asarray(model.dof_damping),
+            friction_scale=jnp.asarray(1.0),
+            limit_lower=jnp.asarray(model.dof_limit_lower),
+            limit_upper=jnp.asarray(model.dof_limit_upper),
+        )
+
+
+class PhysicsState(NamedTuple):
+    """Dynamic state of one articulation instance (single env; batch via vmap)."""
+
+    q: jnp.ndarray  # (nq,)
+    qd: jnp.ndarray  # (nv,)
+    f_ext_w: jnp.ndarray  # (nbody, 6) external world wrenches at body origins
+    warm_lambda: jnp.ndarray  # (nrows,) solver warm start
+    contact_force_w: jnp.ndarray  # (ncon, 3) last-step contact forces
+
+    @staticmethod
+    def create(model: RobotModel, ncon: int, n_lim_rows: int) -> "PhysicsState":
+        q = jnp.asarray(model.default_qpos())
+        return PhysicsState(
+            q=q,
+            qd=jnp.zeros(model.nv),
+            f_ext_w=jnp.zeros((model.nbody, 6)),
+            warm_lambda=jnp.zeros(3 * ncon + n_lim_rows),
+            contact_force_w=jnp.zeros((ncon, 3)),
+        )
+
+
+class EngineCfg(NamedTuple):
+    """Physics step configuration (reference ``SimulationCfg``,
+    sim/simulation_cfg.py:256)."""
+
+    dt: float = 1.0 / 120.0
+    gravity: tuple = (0.0, 0.0, -9.81)
+    solver: SolverCfg = SolverCfg()
+    max_velocity: float = 1e6
+
+
+def articulated_q(model: RobotModel, q):
+    """(nu,) positions of articulated (1-dof) joints extracted from q."""
+    if model.nu == 0:
+        return jnp.zeros(0)
+    idx = []
+    for b in model.dof_body:
+        idx.append(int(model.q_start[b]))
+    return q[jnp.asarray(idx)]
+
+
+def articulated_qd(model: RobotModel, qd):
+    if model.nu == 0:
+        return jnp.zeros(0)
+    return qd[jnp.asarray(model.dof_v_index)]
+
+
+def drive_torque(model: RobotModel, drive: JointDrive, q_arts, qd_arts, effort_limit=None):
+    """PD drive + feed-forward, clipped to effort limits
+    (reference actuator_pd.py:184-198 semantics)."""
+    tau = (
+        drive.kp * (drive.pos_target - q_arts)
+        + drive.kd * (drive.vel_target - qd_arts)
+        + drive.effort
+    )
+    lim = jnp.asarray(model.dof_effort_limit) if effort_limit is None else effort_limit
+    return jnp.clip(tau, -lim, lim)
+
+
+def step(
+    model: RobotModel,
+    plan: CollisionPlan,
+    state: PhysicsState,
+    drive: JointDrive,
+    params: BodyParams,
+    cfg: EngineCfg,
+    terrain=None,
+) -> tuple[PhysicsState, Kinematics, Contacts]:
+    """One physics step for a single env instance (vmap over envs outside).
+
+    Returns the new state plus the FK/contact products so sensors and managers
+    reuse them without recompute (XLA will CSE anyway; this keeps it explicit).
+    """
+    dt = cfg.dt
+    kin = forward_kinematics(model, state.q)
+    q_arts = articulated_q(model, state.q)
+    qd_arts = articulated_qd(model, state.qd)
+
+    # mass matrix with armature + implicit drive damping on the diagonal
+    H = crba(model, kin, mass=params.mass, inertia=params.inertia, com=params.com)
+    if model.nu:
+        vi = jnp.asarray(model.dof_v_index)
+        # implicit damping: folds kd and passive damping into the inertia so
+        # stiff PD gains stay stable at large dt (PhysX implicit drive; MJX
+        # implicitfast analogue)
+        H = H.at[vi, vi].add(params.armature + dt * (drive.kd + params.damping))
+
+    C = rnea_bias(
+        model,
+        kin,
+        state.qd,
+        jnp.asarray(cfg.gravity),
+        f_ext_w=state.f_ext_w,
+        mass=params.mass,
+        inertia=params.inertia,
+        com=params.com,
+    )
+
+    tau = jnp.zeros(model.nv)
+    if model.nu:
+        tau_d = drive_torque(model, drive, q_arts, qd_arts)
+        tau_d = tau_d - params.damping * qd_arts
+        tau = tau.at[jnp.asarray(model.dof_v_index)].add(tau_d)
+
+    H_chol = jax.scipy.linalg.cholesky(H, lower=True)
+    qdd_free = jax.scipy.linalg.cho_solve((H_chol, True), tau - C)
+    v_free = state.qd + dt * qdd_free
+
+    contacts = plan.detect(kin, terrain)
+    contacts = contacts._replace(friction=contacts.friction * params.friction_scale)
+
+    result = solve_constraints(
+        model,
+        kin,
+        H_chol,
+        v_free,
+        contacts,
+        q_arts,
+        dt,
+        cfg.solver,
+        limit_lower=params.limit_lower,
+        limit_upper=params.limit_upper,
+        warm_lambda=state.warm_lambda,
+    )
+
+    qd_new = jnp.clip(result.qd, -cfg.max_velocity, cfg.max_velocity)
+    q_new = integrate_q(model, state.q, qd_new, dt)
+
+    lam = (
+        jnp.concatenate([result.contact_impulse.reshape(-1), jnp.zeros(2 * model.nu)])
+        if contacts.depth.shape[0] or model.nu
+        else state.warm_lambda
+    )
+    if lam.shape != state.warm_lambda.shape:
+        lam = state.warm_lambda
+
+    return (
+        PhysicsState(
+            q=q_new,
+            qd=qd_new,
+            f_ext_w=state.f_ext_w,
+            warm_lambda=lam,
+            contact_force_w=result.contact_force_w,
+        ),
+        kin,
+        contacts,
+    )
+
+
+def integrate_q(model: RobotModel, q, qd, dt: float):
+    """Semi-implicit Euler position update; quaternion exponential for free
+    joints (body-frame angular velocity, right-multiplied)."""
+    q_new = q
+    for b in range(model.nbody):
+        jt = int(model.jnt_type[b])
+        qs, vs = int(model.q_start[b]), int(model.v_start[b])
+        if jt == JOINT_FREE:
+            quat = math_utils.normalize(q[qs + 3 : qs + 7])
+            R = math_utils.matrix_from_quat(quat)
+            pos_new = q[qs : qs + 3] + (R @ qd[vs + 3 : vs + 6]) * dt
+            dq = spatial.quat_exp_approx(qd[vs : vs + 3] * dt)
+            quat_new = math_utils.normalize(math_utils.quat_mul(quat, dq))
+            q_new = q_new.at[qs : qs + 3].set(pos_new)
+            q_new = q_new.at[qs + 3 : qs + 7].set(quat_new)
+        elif jt in (JOINT_REVOLUTE, JOINT_PRISMATIC):
+            q_new = q_new.at[qs].set(q[qs] + qd[vs] * dt)
+    return q_new

@@ -1,0 +1,223 @@
+"""Velocity-level contact + joint-limit impulse solver.
+
+The TGS/PGS-style solver replacing PhysX's iterative constraint solver
+(reference ``PhysxCfg`` solver knobs, ``sim/simulation_cfg.py:37-76``;
+SURVEY.md §2.10 row 1, §7 hard part 1). Formulation:
+
+    minimize over impulses lambda:  complementarity on contact normals,
+    friction-cone projection on tangents, one-sided rows for joint limits,
+    over the Delassus operator A = J H^-1 J^T.
+
+TPU-first design choices:
+- **Fixed shapes**: the constraint-row count is static (3 rows per candidate
+  contact + 2 rows per limited dof); inactive rows are masked, never gathered.
+- **Projected block-Jacobi** iterations instead of sequential Gauss-Seidel:
+  each sweep is one batched (nrows x nrows) matvec -> MXU work when vmapped
+  over envs, instead of a serial row loop on the VPU.
+- Baumgarte position stabilization + restitution folded into the bias, like
+  PhysX TGS's per-iteration bias (approximated at the velocity level).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .collision import Contacts
+from .kinematics import Kinematics, point_jacobian
+from .model import RobotModel
+
+
+class SolverCfg(NamedTuple):
+    """Mirrors the load-bearing knobs of the reference ``PhysxCfg``
+    (sim/simulation_cfg.py:46-93)."""
+
+    iterations: int = 16
+    relaxation: float = 1.0
+    baumgarte: float = 0.2
+    contact_slop: float = 0.005
+    restitution_threshold: float = 0.2  # m/s
+    limit_baumgarte: float = 0.2
+
+
+def contact_jacobians(model: RobotModel, kin: Kinematics, contacts: Contacts):
+    """(ncon*3, nv) stacked [normal, tangent1, tangent2] rows per contact."""
+    ncon = contacts.depth.shape[0]
+    if ncon == 0:
+        return jnp.zeros((0, model.nv))
+    rows = []
+    for c in range(ncon):
+        p = contacts.pos[c]
+        n = contacts.normal[c]
+        J_a = point_jacobian(model, kin, int(contacts.body_a[c]), p)
+        if int(contacts.body_b[c]) >= 0:
+            J_rel = J_a - point_jacobian(model, kin, int(contacts.body_b[c]), p)
+        else:
+            J_rel = J_a
+        t1, t2 = _tangent_basis(n)
+        rows.append(n @ J_rel)
+        rows.append(t1 @ J_rel)
+        rows.append(t2 @ J_rel)
+    return jnp.stack(rows)
+
+
+def _tangent_basis(n):
+    """Two unit tangents orthogonal to ``n`` (branch-free pivot choice)."""
+    # pick the world axis least aligned with n
+    a = jnp.where(
+        jnp.abs(n[0]) < 0.9,
+        jnp.array([1.0, 0.0, 0.0]),
+        jnp.array([0.0, 1.0, 0.0]),
+    )
+    t1 = jnp.cross(n, a)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def limit_rows(model: RobotModel):
+    """Static (2*nu, nv) signed selector rows for lower/upper joint limits."""
+    if model.nu == 0:
+        return np.zeros((0, model.nv))
+    J = np.zeros((2 * model.nu, model.nv))
+    for i, v in enumerate(model.dof_v_index):
+        J[2 * i, v] = 1.0  # lower limit: qd must not decrease q further
+        J[2 * i + 1, v] = -1.0  # upper limit
+    return J
+
+
+class SolveResult(NamedTuple):
+    qd: jnp.ndarray  # corrected generalized velocity (nv,)
+    contact_impulse: jnp.ndarray  # (ncon, 3) [n, t1, t2] impulses
+    contact_force_w: jnp.ndarray  # (ncon, 3) world-frame contact force on body_a
+
+
+def solve_constraints(
+    model: RobotModel,
+    kin: Kinematics,
+    H_chol,
+    v_free,
+    contacts: Contacts,
+    q_arts,
+    dt: float,
+    cfg: SolverCfg,
+    limit_lower=None,
+    limit_upper=None,
+    warm_lambda=None,
+):
+    """Solve contacts + joint limits; returns corrected qd and contact forces.
+
+    ``H_chol``: Cholesky factor of the (armature-augmented) mass matrix.
+    ``v_free``: post-force, pre-constraint velocity (qd + dt * qdd_free).
+    ``q_arts``: (nu,) articulated joint positions (for limit violation).
+    """
+    ncon = contacts.depth.shape[0]
+    n_lim = 2 * model.nu
+    nrows = 3 * ncon + n_lim
+
+    if nrows == 0:
+        return SolveResult(
+            qd=v_free,
+            contact_impulse=jnp.zeros((0, 3)),
+            contact_force_w=jnp.zeros((0, 3)),
+        )
+
+    J_c = contact_jacobians(model, kin, contacts)  # (3*ncon, nv)
+    J_l = jnp.asarray(limit_rows(model))  # (2*nu, nv)
+    J = jnp.concatenate([J_c, J_l], axis=0) if n_lim else J_c
+
+    # Delassus operator via Cholesky solves: A = J H^-1 J^T
+    MinvJT = jax.scipy.linalg.cho_solve((H_chol, True), J.T)  # (nv, nrows)
+    A = J @ MinvJT  # (nrows, nrows)
+    diag = jnp.clip(jnp.diagonal(A), 1e-8, None)
+
+    # bias: b = J v_free + baumgarte + restitution (contacts), limit bias
+    b = J @ v_free
+    if ncon:
+        active = contacts.depth > 0.0
+        # restitution on approach velocity beyond threshold
+        v_n_pre = J_c.reshape(ncon, 3, -1)[:, 0, :] @ v_free
+        rest = contacts.restitution * jnp.where(
+            v_n_pre < -cfg.restitution_threshold, v_n_pre, 0.0
+        )
+        pen = jnp.maximum(contacts.depth - cfg.contact_slop, 0.0)
+        bias_n = -cfg.baumgarte / dt * pen + rest
+        b_c = b[: 3 * ncon].reshape(ncon, 3)
+        b_c = b_c.at[:, 0].add(bias_n)
+        # deactivate non-touching candidates by zeroing their effect later via
+        # the mask; also zero their bias to keep the iteration well-scaled
+        b_c = jnp.where(active[:, None], b_c, 0.0)
+        b = b.at[: 3 * ncon].set(b_c.reshape(-1))
+    if n_lim:
+        lo = jnp.asarray(model.dof_limit_lower) if limit_lower is None else limit_lower
+        hi = jnp.asarray(model.dof_limit_upper) if limit_upper is None else limit_upper
+        viol_lo = jnp.maximum(lo - q_arts, 0.0)  # >0 when below lower limit
+        viol_hi = jnp.maximum(q_arts - hi, 0.0)
+        # rows ordered [lo_0, hi_0, lo_1, hi_1, ...]
+        bias_l = jnp.stack(
+            [-cfg.limit_baumgarte / dt * viol_lo, -cfg.limit_baumgarte / dt * viol_hi],
+            axis=1,
+        ).reshape(-1)
+        lim_active = jnp.stack(
+            [(q_arts - lo) < 0.05, (hi - q_arts) < 0.05], axis=1
+        ).reshape(-1)
+        b = b.at[3 * ncon :].add(bias_l)
+    else:
+        lim_active = jnp.zeros((0,), dtype=bool)
+
+    # row activity mask
+    if ncon:
+        con_active = jnp.repeat(contacts.depth > 0.0, 3)
+    else:
+        con_active = jnp.zeros((0,), dtype=bool)
+    row_active = jnp.concatenate([con_active, lim_active])
+
+    mu = contacts.friction if ncon else jnp.zeros((0,))
+
+    lam0 = (
+        warm_lambda
+        if warm_lambda is not None and warm_lambda.shape == (nrows,)
+        else jnp.zeros(nrows)
+    )
+    lam0 = jnp.where(row_active, lam0, 0.0)
+
+    omega = cfg.relaxation
+
+    def body(_, lam):
+        r = A @ lam + b
+        step = omega * r / diag
+        new = lam - step
+        if ncon:
+            nc = new[: 3 * ncon].reshape(ncon, 3)
+            lam_n = jnp.maximum(nc[:, 0], 0.0)
+            # friction cone projection (per-tangent box then cone scale)
+            t = nc[:, 1:3]
+            t_norm = jnp.linalg.norm(t, axis=-1)
+            max_t = mu * lam_n
+            scale = jnp.where(t_norm > max_t, max_t / jnp.maximum(t_norm, 1e-9), 1.0)
+            t = t * scale[:, None]
+            nc = jnp.concatenate([lam_n[:, None], t], axis=1)
+            new = new.at[: 3 * ncon].set(nc.reshape(-1))
+        if n_lim:
+            new = new.at[3 * ncon :].set(jnp.maximum(new[3 * ncon :], 0.0))
+        return jnp.where(row_active, new, 0.0)
+
+    lam = jax.lax.fori_loop(0, cfg.iterations, body, lam0)
+
+    qd = v_free + MinvJT @ lam
+    if ncon:
+        imp = lam[: 3 * ncon].reshape(ncon, 3)
+        t1t2 = []
+        force = []
+        for c in range(ncon):
+            n = contacts.normal[c]
+            t1, t2 = _tangent_basis(n)
+            force.append((n * imp[c, 0] + t1 * imp[c, 1] + t2 * imp[c, 2]) / dt)
+        contact_force_w = jnp.stack(force)
+    else:
+        imp = jnp.zeros((0, 3))
+        contact_force_w = jnp.zeros((0, 3))
+    return SolveResult(qd=qd, contact_impulse=imp, contact_force_w=contact_force_w)

@@ -1,0 +1,349 @@
+"""Interactive scene: entity registry + batched world assembly.
+
+TPU-native counterpart of the reference ``InteractiveScene``
+(``scene/interactive_scene.py:34``). Where the reference spawns a template env
+and clones it N times via ``GridCloner`` (interactive_scene.py:126-164), here
+cloning *is the batch axis*: entity models merge into one world forest
+(:func:`~isaaclab_tpu.physics.model.merge_models`) and every state array gains
+a leading ``(num_envs,)`` dimension under ``vmap``.
+
+Env separation: every env's world is independent (separate vmapped instance),
+so all envs sit at the world origin — no grid spacing needed for physics.
+Terrain-based tasks place each env on its terrain cell via a per-env *terrain
+offset* applied inside height-field queries instead of moving the robot
+(float32-friendly: coordinates stay small). ``env_origins`` therefore returns
+the terrain-relative spawn origins (zeros for flat ground), matching how tasks
+consume it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import MISSING
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets import (
+    Articulation,
+    ArticulationCfg,
+    AssetBaseCfg,
+    RigidObject,
+    RigidObjectCfg,
+)
+from ..physics import engine as eng
+from ..physics.collision import CollisionPlan
+from ..physics.kinematics import forward_kinematics
+from ..physics.model import merge_models
+from ..sim.simulation_cfg import SimulationCfg
+from ..utils.configclass import configclass, is_configclass
+
+
+@configclass
+class InteractiveSceneCfg:
+    """Reference ``InteractiveSceneCfg`` (scene/interactive_scene_cfg.py).
+
+    Entity cfgs are *attributes* of subclasses, exactly like the reference:
+
+        @configclass
+        class MySceneCfg(InteractiveSceneCfg):
+            robot = ArticulationCfg(...)
+            height_scanner = RayCasterCfg(...)
+    """
+
+    num_envs: int = MISSING
+    env_spacing: float = 2.0
+    replicate_physics: bool = True  # parity only; batching always replicates
+    filter_collisions: bool = True  # parity only; envs never interact
+    lazy_sensor_update: bool = True
+
+
+class SceneState(NamedTuple):
+    """All per-env dynamic state of the scene (one pytree)."""
+
+    phys: eng.PhysicsState  # batched world physics state
+    body_params: eng.BodyParams  # batched randomizable physical params
+    entities: dict  # name -> entity state pytree (articulations, objects)
+    sensors: dict  # name -> sensor state pytree
+
+
+class InteractiveScene:
+    """Host-side scene: builds the merged world, owns entity facades."""
+
+    def __init__(self, cfg: InteractiveSceneCfg, sim_cfg: SimulationCfg | None = None):
+        self.cfg = cfg
+        self.sim_cfg = sim_cfg or SimulationCfg()
+        self.num_envs = int(cfg.num_envs)
+        self.articulations: dict[str, Articulation] = {}
+        self.rigid_objects: dict[str, RigidObject] = {}
+        self.sensors: dict = {}
+        self.extras: dict = {}
+        self.terrain = None  # TerrainImporter, set if cfg has one
+
+        # --- collect entity cfgs from subclass attributes (reference
+        # InteractiveScene parses cfg attrs the same way) ---
+        from ..sensors.sensor_base import SensorBaseCfg
+        from ..terrains.terrain_importer import TerrainImporter, TerrainImporterCfg
+
+        entity_cfgs = {}
+        sensor_cfgs = {}
+        terrain_cfg = None
+        import dataclasses as _dc
+
+        for f in _dc.fields(cfg):
+            name, value = f.name, getattr(cfg, f.name)
+            if isinstance(value, (ArticulationCfg, RigidObjectCfg)):
+                entity_cfgs[name] = value
+            elif isinstance(value, SensorBaseCfg):
+                sensor_cfgs[name] = value
+            elif isinstance(value, TerrainImporterCfg):
+                terrain_cfg = (name, value)
+
+        # --- terrain first (env origins may come from it) ---
+        if terrain_cfg is not None:
+            self.terrain = TerrainImporter(terrain_cfg[1], self.num_envs)
+
+        # --- build entity models ---
+        models, names, facades = [], [], []
+        for name, ecfg in entity_cfgs.items():
+            model = _resolve_model(ecfg.model)
+            if isinstance(ecfg, ArticulationCfg):
+                facade = Articulation(ecfg, model)
+                self.articulations[name] = facade
+            else:
+                facade = RigidObject(ecfg, model)
+                self.rigid_objects[name] = facade
+            models.append(model)
+            names.append(name)
+            facades.append(facade)
+
+        self.world_model, self.slices = merge_models(models, names)
+        for facade, name in zip(facades, names):
+            facade.bind(self.world_model, self.slices[name])
+
+        # --- collision plan: ground contacts + declared pairs ---
+        self.collision_plan = CollisionPlan(
+            self.world_model,
+            with_ground=self.terrain is not None or _any_ground_geoms(models),
+        )
+        self.n_lim_rows = 2 * self.world_model.nu
+
+        # --- sensors ---
+        for name, scfg in sensor_cfgs.items():
+            self.sensors[name] = scfg.class_type(scfg, self)
+
+        self._entity_names = names
+
+    # ------------------------------------------------------------------
+    @property
+    def env_origins(self):
+        """(E, 3) spawn origins. Terrain-relative (zeros on flat ground)."""
+        if self.terrain is not None:
+            return self.terrain.env_origins
+        return jnp.zeros((self.num_envs, 3))
+
+    def terrain_offsets(self):
+        """(E, 3) per-env terrain cell offsets for height-field queries."""
+        if self.terrain is not None:
+            return self.terrain.env_offsets
+        return jnp.zeros((self.num_envs, 3))
+
+    @property
+    def height_field(self):
+        return self.terrain.height_field if self.terrain is not None else None
+
+    def __getitem__(self, key: str):
+        """Reference dict-style access (interactive_scene.py:589)."""
+        for registry in (self.articulations, self.rigid_objects, self.sensors, self.extras):
+            if key in registry:
+                return registry[key]
+        raise KeyError(
+            f"Scene entity '{key}' not found. Available: "
+            f"{list(self.articulations) + list(self.rigid_objects) + list(self.sensors)}"
+        )
+
+    def keys(self):
+        return (
+            list(self.articulations) + list(self.rigid_objects) + list(self.sensors)
+        )
+
+    # ------------------------------------------------------------------
+    # State lifecycle
+    # ------------------------------------------------------------------
+    def init_state(self) -> SceneState:
+        E = self.num_envs
+        wm = self.world_model
+        ncon = self.collision_plan.ncon
+        single = eng.PhysicsState.create(wm, ncon, self.n_lim_rows)
+        phys = jax.tree.map(lambda x: jnp.tile(x, (E,) + (1,) * x.ndim), single)
+        params = eng.BodyParams.from_model(wm)
+        params = jax.tree.map(lambda x: jnp.tile(x, (E,) + (1,) * x.ndim), params)
+
+        entities = {}
+        origins = self.env_origins
+        for name in self._entity_names:
+            facade = self.articulations.get(name) or self.rigid_objects.get(name)
+            est = facade.init_entity_state(E, origins)
+            entities[name] = est
+
+        state = SceneState(
+            phys=phys, body_params=params, entities=entities, sensors={}
+        )
+        # write default root/joint states into q/qd
+        state = self.reset_state(state, env_mask=None)
+        # sensors may need a valid q to initialize
+        sensors = {
+            name: s.init_state(E) for name, s in self.sensors.items()
+        }
+        return state._replace(sensors=sensors)
+
+    def reset_state(self, state: SceneState, env_mask) -> SceneState:
+        """Reset masked envs to entity default states (reference
+        ``InteractiveScene.reset`` + per-asset reset, interactive_scene.py:370)."""
+        q, qd = state.phys.q, state.phys.qd
+        for name in self._entity_names:
+            est = state.entities[name]
+            art = self.articulations.get(name)
+            if art is not None:
+                drs = est.default_root_state
+                q = art.write_root_pose_to_sim(q, drs[:, 0:7], env_mask)
+                qd = art.write_root_velocity_to_sim(q, qd, drs[:, 7:13], env_mask)
+                q, qd = art.write_joint_state_to_sim(
+                    q, qd, est.default_joint_pos, est.default_joint_vel, env_mask
+                )
+                # reset targets to default positions for masked envs
+                m = (
+                    jnp.ones(q.shape[0], dtype=bool)
+                    if env_mask is None
+                    else env_mask
+                )[:, None]
+                state.entities[name] = est._replace(
+                    joint_pos_target=jnp.where(
+                        m, est.default_joint_pos, est.joint_pos_target
+                    ),
+                    joint_vel_target=jnp.where(m, 0.0, est.joint_vel_target),
+                    joint_effort_target=jnp.where(m, 0.0, est.joint_effort_target),
+                )
+            else:
+                obj = self.rigid_objects[name]
+                drs = est.default_root_state
+                q = obj.write_root_pose_to_sim(q, drs[:, 0:7], env_mask)
+                qd = obj.write_root_velocity_to_sim(q, qd, drs[:, 7:13], env_mask)
+        mask = (
+            jnp.ones(q.shape[0], dtype=bool) if env_mask is None else env_mask
+        )
+        phys = state.phys._replace(
+            q=q,
+            qd=qd,
+            qd_prev=jnp.where(mask[:, None], qd, state.phys.qd_prev),
+            f_ext_w=jnp.where(
+                mask[:, None, None], 0.0, state.phys.f_ext_w
+            ),
+            warm_lambda=jnp.where(mask[:, None], 0.0, state.phys.warm_lambda),
+        )
+        new_sensors = {}
+        for name, s in self.sensors.items():
+            if name in state.sensors:
+                new_sensors[name] = s.reset(state.sensors[name], mask)
+        return state._replace(phys=phys, sensors={**state.sensors, **new_sensors})
+
+    # ------------------------------------------------------------------
+    # Physics stepping (one sim substep over the whole batch)
+    # ------------------------------------------------------------------
+    def step_physics(self, state: SceneState, dt: float) -> SceneState:
+        """Actuators -> world drive -> engine step, batched. The reference's
+        ``write_data_to_sim`` + ``sim.step`` fused (manager_based_env.py:398)."""
+        wm = self.world_model
+        E = self.num_envs
+        nu = wm.nu
+
+        kp = jnp.zeros((E, nu))
+        kd = jnp.zeros((E, nu))
+        pos_t = jnp.zeros((E, nu))
+        vel_t = jnp.zeros((E, nu))
+        eff = jnp.zeros((E, nu))
+        new_entities = dict(state.entities)
+        for name, art in self.articulations.items():
+            if art.num_joints == 0:
+                continue
+            est = state.entities[name]
+            est, (a_kp, a_kd, a_pt, a_vt, a_ef) = art.compute_drive(
+                est, state.phys.q, state.phys.qd
+            )
+            s = art.slice
+            sl = slice(s.dof_start, s.dof_start + s.dof_count)
+            kp = kp.at[:, sl].set(a_kp)
+            kd = kd.at[:, sl].set(a_kd)
+            pos_t = pos_t.at[:, sl].set(a_pt)
+            vel_t = vel_t.at[:, sl].set(a_vt)
+            eff = eff.at[:, sl].set(a_ef)
+            new_entities[name] = est
+
+        drive = eng.JointDrive(kp=kp, kd=kd, pos_target=pos_t, vel_target=vel_t, effort=eff)
+        cfg = eng.EngineCfg(
+            dt=dt,
+            gravity=tuple(self.sim_cfg.gravity),
+            solver=self.sim_cfg.solver_cfg(),
+        )
+        terrain = self.height_field
+        offsets = self.terrain_offsets()
+
+        def one_env(phys, drv, params, offset):
+            new_phys, _, _ = eng.step(
+                wm, self.collision_plan, phys, drv, params, cfg,
+                terrain=terrain, terrain_offset=offset,
+            )
+            return new_phys
+
+        new_phys = jax.vmap(one_env)(state.phys, drive, state.body_params, offsets)
+        return state._replace(phys=new_phys, entities=new_entities)
+
+    # ------------------------------------------------------------------
+    def kinematics(self, state: SceneState):
+        """Batched world FK for the current q (shared by data views/sensors)."""
+        return jax.vmap(lambda q: forward_kinematics(self.world_model, q))(
+            state.phys.q
+        )
+
+    def data_views(self, state: SceneState, dt: float):
+        """dict name -> entity data view for manager term functions."""
+        kin = self.kinematics(state)
+        views = {}
+        for name in self._entity_names:
+            facade = self.articulations.get(name) or self.rigid_objects.get(name)
+            views[name] = facade.data(
+                kin, state.phys.q, state.phys.qd, state.phys.qd_prev,
+                state.entities[name], dt,
+            )
+        return views, kin
+
+    # ------------------------------------------------------------------
+    def get_state(self, state: SceneState) -> dict:
+        """Serializable full state (reference interactive_scene.py:484)."""
+        return {
+            "phys": state.phys._asdict(),
+            "entities": {
+                k: v._asdict() if hasattr(v, "_asdict") else v
+                for k, v in state.entities.items()
+            },
+        }
+
+
+def _resolve_model(source):
+    """ArticulationCfg.model: RobotModel | callable | urdf/mjcf path."""
+    from ..physics.model import RobotModel
+
+    if isinstance(source, RobotModel):
+        return source
+    if callable(source):
+        return source()
+    if isinstance(source, str):
+        from ..sim.converters import load_model_file
+
+        return load_model_file(source)
+    raise TypeError(f"Cannot resolve robot model from {type(source)}")
+
+
+def _any_ground_geoms(models) -> bool:
+    return any(len(m.geoms) > 0 for m in models)
