@@ -236,10 +236,8 @@ class Articulation(AssetBase):
             return qd
         s = self.slice
         m = self._mask(env_mask, qd)[:, None]
-        quat = q[:, s.q_start + 3 : s.q_start + 7]
-        lin_b = math_utils.quat_apply_inverse(quat, vel_w[:, 0:3])
-        ang_b = math_utils.quat_apply_inverse(quat, vel_w[:, 3:6])
-        v_new = jnp.concatenate([ang_b, lin_b], axis=-1)
+        # engine free-joint coordinates are world-frame (ang, lin)
+        v_new = jnp.concatenate([vel_w[:, 3:6], vel_w[:, 0:3]], axis=-1)
         vs = s.v_start
         qd = qd.at[:, vs : vs + 6].set(jnp.where(m, v_new, qd[:, vs : vs + 6]))
         return qd
@@ -370,38 +368,27 @@ class ArticulationData:
     def root_quat_w(self):
         return self._kin.body_quat_w[:, self._art.root_body_index]
 
-    def _root_vel_w(self):
-        art = self._art
-        if art.is_fixed_base:
-            E = self._q.shape[0]
-            return jnp.zeros((E, 3)), jnp.zeros((E, 3))
-        vs = art.slice.v_start
-        quat = self.root_quat_w
-        ang_b = self._qd[:, vs : vs + 3]
-        lin_b = self._qd[:, vs + 3 : vs + 6]
-        return math_utils.quat_apply(quat, lin_b), math_utils.quat_apply(quat, ang_b)
-
     @property
     def root_lin_vel_w(self):
-        return self._root_vel_w()[0]
-
-    @property
-    def root_ang_vel_w(self):
-        return self._root_vel_w()[1]
-
-    @property
-    def root_lin_vel_b(self):
         if self._art.is_fixed_base:
             return jnp.zeros((self._q.shape[0], 3))
         vs = self._art.slice.v_start
         return self._qd[:, vs + 3 : vs + 6]
 
     @property
-    def root_ang_vel_b(self):
+    def root_ang_vel_w(self):
         if self._art.is_fixed_base:
             return jnp.zeros((self._q.shape[0], 3))
         vs = self._art.slice.v_start
         return self._qd[:, vs : vs + 3]
+
+    @property
+    def root_lin_vel_b(self):
+        return math_utils.quat_apply_inverse(self.root_quat_w, self.root_lin_vel_w)
+
+    @property
+    def root_ang_vel_b(self):
+        return math_utils.quat_apply_inverse(self.root_quat_w, self.root_ang_vel_w)
 
     @property
     def root_state_w(self):

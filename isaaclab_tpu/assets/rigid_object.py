@@ -83,10 +83,8 @@ class RigidObject(AssetBase):
     def write_root_velocity_to_sim(self, q, qd, vel_w, env_mask=None):
         s = self.slice
         m = jnp.ones(qd.shape[0], dtype=bool) if env_mask is None else env_mask
-        quat = q[:, s.q_start + 3 : s.q_start + 7]
-        lin_b = math_utils.quat_apply_inverse(quat, vel_w[:, 0:3])
-        ang_b = math_utils.quat_apply_inverse(quat, vel_w[:, 3:6])
-        v_new = jnp.concatenate([ang_b, lin_b], axis=-1)
+        # engine free-joint coordinates are world-frame (ang, lin)
+        v_new = jnp.concatenate([vel_w[:, 3:6], vel_w[:, 0:3]], axis=-1)
         vs = s.v_start
         return qd.at[:, vs : vs + 6].set(
             jnp.where(m[:, None], v_new, qd[:, vs : vs + 6])
@@ -117,12 +115,12 @@ class RigidObjectData:
     @property
     def root_lin_vel_w(self):
         vs = self._obj.slice.v_start
-        return math_utils.quat_apply(self.root_quat_w, self._qd[:, vs + 3 : vs + 6])
+        return self._qd[:, vs + 3 : vs + 6]
 
     @property
     def root_ang_vel_w(self):
         vs = self._obj.slice.v_start
-        return math_utils.quat_apply(self.root_quat_w, self._qd[:, vs : vs + 3])
+        return self._qd[:, vs : vs + 3]
 
     @property
     def root_state_w(self):

@@ -89,6 +89,12 @@ def rnea_bias(
             vj = kin.S[b][:, :vd] @ qd[vs : vs + vd]
             v_b = v_b + vj
             a_b = a_b + spatial.crm(v_b, vj)
+            if int(model.jnt_type[b]) == 0:  # JOINT_FREE
+                # world-coordinate free joint: S is configuration-dependent,
+                # cJ = S_dot qdot = (0, -w_b x v_b) with (w_b, v_b) = vj
+                a_b = a_b + jnp.concatenate(
+                    [jnp.zeros(3), -jnp.cross(vj[:3], vj[3:])]
+                )
         v.append(v_b)
         a.append(a_b)
         f_b = I_body[b] @ a_b + spatial.crf(v_b, I_body[b] @ v_b)

@@ -230,11 +230,11 @@ def integrate_q(model: RobotModel, q, qd, dt: float):
         jt = int(model.jnt_type[b])
         qs, vs = int(model.q_start[b]), int(model.v_start[b])
         if jt == JOINT_FREE:
+            # free-joint qd is world-frame: world ang vel left-multiplies
             quat = math_utils.normalize(q[qs + 3 : qs + 7])
-            R = math_utils.matrix_from_quat(quat)
-            pos_new = q[qs : qs + 3] + (R @ qd[vs + 3 : vs + 6]) * dt
+            pos_new = q[qs : qs + 3] + qd[vs + 3 : vs + 6] * dt
             dq = spatial.quat_exp_approx(qd[vs : vs + 3] * dt)
-            quat_new = math_utils.normalize(math_utils.quat_mul(quat, dq))
+            quat_new = math_utils.normalize(math_utils.quat_mul(dq, quat))
             q_new = q_new.at[qs : qs + 3].set(pos_new)
             q_new = q_new.at[qs + 3 : qs + 7].set(quat_new)
         elif jt in (JOINT_REVOLUTE, JOINT_PRISMATIC):

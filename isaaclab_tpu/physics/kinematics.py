@@ -70,12 +70,20 @@ def _joint_local_pose(model: RobotModel, b: int, q):
     raise NotImplementedError(f"joint type {jt}")
 
 
-def _motion_subspace(model: RobotModel, b: int):
-    """(6, 6) motion subspace in body coordinates (first v_dim cols valid)."""
+def _motion_subspace(model: RobotModel, b: int, quat_w=None):
+    """(6, 6) motion subspace in body coordinates (first v_dim cols valid).
+
+    Free-joint velocity coordinates are **world-frame** ``(ang_w, lin_w)``:
+    the body-coordinate subspace is then blockdiag(R_bw, R_bw). This choice
+    makes the linear Coriolis term vanish (exact momentum conservation under
+    explicit integration) at the cost of a configuration-dependent S.
+    """
     jt = int(model.jnt_type[b])
     S = jnp.zeros((6, 6))
     if jt == JOINT_FREE:
-        return jnp.eye(6)
+        R_bw = math_utils.matrix_from_quat(quat_w).T
+        Z = jnp.zeros((3, 3))
+        return jnp.block([[R_bw, Z], [Z, R_bw]])
     if jt == JOINT_FIXED:
         return S
     # axis in body coords: body frame = joint-child frame offset by (body_pos,
@@ -118,19 +126,20 @@ def forward_kinematics(model: RobotModel, q) -> Kinematics:
         # coords to body coords = R(quat_rel)^T
         R_rel = math_utils.matrix_from_quat(quat_rel).T
         X_up.append(spatial.motion_matrix(R_rel, pos_rel))
-        S.append(_motion_subspace(model, b))
+        S.append(_motion_subspace(model, b, quat_w))
 
         # world-frame dof Jacobian data
         jt = int(model.jnt_type[b])
         vs = int(model.v_start[b])
         if jt == JOINT_FREE:
-            R_w = math_utils.matrix_from_quat(quat_w)
+            # world-frame free-joint coordinates: axes are the world basis
+            eye = jnp.eye(3)
             for k in range(3):
-                dof_axis[vs + k] = R_w[:, k]
+                dof_axis[vs + k] = eye[k]
                 dof_anchor[vs + k] = pos_w
                 dof_is_rot[vs + k] = 1.0
             for k in range(3):
-                dof_axis[vs + 3 + k] = R_w[:, k]
+                dof_axis[vs + 3 + k] = eye[k]
                 dof_anchor[vs + 3 + k] = pos_w
                 dof_is_rot[vs + 3 + k] = 0.0
         elif jt in (JOINT_REVOLUTE, JOINT_PRISMATIC):
@@ -185,9 +194,9 @@ def body_velocities_world(model: RobotModel, kin: Kinematics, qd):
         jt = int(model.jnt_type[b])
         vs = int(model.v_start[b])
         if jt == JOINT_FREE:
-            R_w = math_utils.matrix_from_quat(kin.body_quat_w[b])
-            ang = ang + R_w @ qd[vs : vs + 3]
-            lin = lin + R_w @ qd[vs + 3 : vs + 6]
+            # free-joint qd is already world-frame (ang, lin)
+            ang = ang + qd[vs : vs + 3]
+            lin = lin + qd[vs + 3 : vs + 6]
         elif jt in (JOINT_REVOLUTE, JOINT_PRISMATIC):
             axis = kin.dof_axis_w[vs]
             if jt == JOINT_REVOLUTE:

@@ -165,7 +165,7 @@ class TestIntegration:
         # semi-implicit Euler: z = z0 - g*dt^2*(1+2+...+n) = z0 - g dt^2 n(n+1)/2
         expected = 10.0 - g * cfg.dt**2 * n * (n + 1) / 2
         np.testing.assert_allclose(final.q[2], expected, rtol=1e-4)
-        # body never rotates, so body-frame vz == world vz = -g dt n
+        # world-frame vz = -g dt n
         np.testing.assert_allclose(final.qd[5], -g * cfg.dt * n, rtol=1e-4)
 
     def test_tumbling_conserves_angular_momentum_magnitude(self):
@@ -189,8 +189,9 @@ class TestIntegration:
             from isaaclab_tpu.utils import math as mu
 
             quat = st.q[3:7]
-            L_body = I @ st.qd[:3]
-            return mu.quat_apply(quat, L_body)
+            # qd[:3] is world-frame omega; L_w = R I_b R^T w_w
+            w_b = mu.quat_apply_inverse(quat, st.qd[:3])
+            return mu.quat_apply(quat, I @ w_b)
 
         L0 = ang_mom_world(state)
         L1 = ang_mom_world(final)
@@ -238,11 +239,9 @@ class TestContacts:
         final, _ = jax.jit(
             lambda s: simulate(model, plan, s, drive, params, cfg, 240)
         )(state)
-        from isaaclab_tpu.utils import math as mu
-
-        quat = final.q[3:7]
-        v_w = mu.quat_apply(quat, final.qd[3:6])
-        w_w = mu.quat_apply(quat, final.qd[:3])
+        # free-joint qd is world-frame already
+        w_w = final.qd[:3]
+        v_w = final.qd[3:6]
         # slip at the contact point ~ 0 (rolling)
         slip = v_w[0] + w_w[1] * (-0.2)
         assert abs(float(slip)) < 0.1
