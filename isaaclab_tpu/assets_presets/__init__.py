@@ -1,0 +1,13 @@
+"""Robot presets (reference ``source/isaaclab_assets/``, SURVEY.md §2.13).
+
+Per-robot ``ArticulationCfg`` presets; models are built programmatically or
+loaded from local URDF/MJCF (the reference points at Nucleus USDs).
+"""
+
+from .ant import ANT_CFG  # noqa: F401
+from .anymal import ANYMAL_C_CFG, ANYMAL_D_CFG  # noqa: F401
+from .cartpole import CARTPOLE_CFG  # noqa: F401
+from .franka import FRANKA_PANDA_CFG  # noqa: F401
+from .humanoid import HUMANOID_CFG  # noqa: F401
+from .quadcopter import CRAZYFLIE_CFG, UAVLIDAR_CFG  # noqa: F401
+from .unitree import UNITREE_A1_CFG, UNITREE_GO2_CFG  # noqa: F401

@@ -1,0 +1,111 @@
+"""Franka Emika Panda preset (reference ``isaaclab_assets/robots/franka.py``):
+7-dof arm + parallel gripper with Panda kinematics (DH-derived link frames)."""
+
+import numpy as np
+
+from ..actuators import ImplicitActuatorCfg
+from ..assets import ArticulationCfg, ArticulationInitStateCfg
+from ..physics.model import (
+    GEOM_BOX,
+    GEOM_CAPSULE,
+    GEOM_SPHERE,
+    JOINT_FIXED,
+    JOINT_PRISMATIC,
+    JOINT_REVOLUTE,
+    ModelBuilder,
+)
+
+# quat for rotation about x by +/- 90 deg
+_RX90 = (np.cos(np.pi / 4), np.sin(np.pi / 4), 0.0, 0.0)
+_RXN90 = (np.cos(np.pi / 4), -np.sin(np.pi / 4), 0.0, 0.0)
+
+
+def build_franka_model():
+    """Panda kinematic chain (link offsets from the official URDF)."""
+    b = ModelBuilder("franka_panda")
+    masses = [4.97, 0.65, 3.23, 3.59, 1.23, 1.67, 0.74]
+    # (jnt_pos in parent frame, jnt_quat) per joint, URDF franka values
+    frames = [
+        ((0, 0, 0.333), (1, 0, 0, 0)),
+        ((0, 0, 0), _RXN90),
+        ((0, -0.316, 0), _RX90),
+        ((0.0825, 0, 0), _RX90),
+        ((-0.0825, 0.384, 0), _RXN90),
+        ((0, 0, 0), _RX90),
+        ((0.088, 0, 0), _RX90),
+    ]
+    limits = [
+        (-2.8973, 2.8973), (-1.7628, 1.7628), (-2.8973, 2.8973),
+        (-3.0718, -0.0698), (-2.8973, 2.8973), (-0.0175, 3.7525),
+        (-2.8973, 2.8973),
+    ]
+    efforts = [87, 87, 87, 87, 12, 12, 12]
+    parent = -1
+    for i in range(7):
+        parent = b.add_body(
+            f"panda_link{i + 1}", parent, JOINT_REVOLUTE, jnt_axis=(0, 0, 1),
+            jnt_pos=frames[i][0], jnt_quat=frames[i][1],
+            mass=masses[i], com=(0, 0, -0.05),
+            inertia=np.eye(3) * 0.01 * masses[i],
+            jnt_name=f"panda_joint{i + 1}", limits=limits[i],
+            effort_limit=efforts[i], velocity_limit=2.6,
+        )
+        b.add_geom(parent, GEOM_CAPSULE, (0.06, 0.08))
+    hand = b.add_body(
+        "panda_hand", parent, JOINT_FIXED,
+        jnt_pos=(0, 0, 0.107), jnt_quat=(np.cos(-np.pi / 8), 0, 0, np.sin(-np.pi / 8)),
+        mass=0.73, inertia=np.eye(3) * 0.003,
+    )
+    b.add_geom(hand, GEOM_BOX, (0.03, 0.1, 0.03), pos=(0, 0, 0.03))
+    for side, sy in (("left", 1), ("right", -1)):
+        finger = b.add_body(
+            f"panda_{side}finger", hand, JOINT_PRISMATIC, jnt_axis=(0, sy, 0),
+            jnt_pos=(0, 0, 0.0584), mass=0.1, inertia=np.eye(3) * 1e-4,
+            jnt_name=f"panda_finger_joint{1 if side == 'left' else 2}",
+            limits=(0.0, 0.04), effort_limit=200.0, velocity_limit=0.2,
+        )
+        b.add_geom(finger, GEOM_BOX, (0.01, 0.01, 0.025), pos=(0, sy * 0.01, 0.04),
+                   friction=2.0, name=f"{side}_fingertip")
+    return b.build()
+
+
+FRANKA_PANDA_CFG = ArticulationCfg(
+    model=build_franka_model,
+    init_state=ArticulationInitStateCfg(
+        joint_pos={
+            "panda_joint1": 0.0,
+            "panda_joint2": -0.569,
+            "panda_joint3": 0.0,
+            "panda_joint4": -2.810,
+            "panda_joint5": 0.0,
+            "panda_joint6": 3.037,
+            "panda_joint7": 0.741,
+            "panda_finger_joint.*": 0.04,
+        },
+    ),
+    soft_joint_pos_limit_factor=1.0,
+    actuators={
+        "panda_shoulder": ImplicitActuatorCfg(
+            joint_names_expr=["panda_joint[1-4]"],
+            effort_limit=87.0,
+            velocity_limit=2.175,
+            stiffness=80.0,
+            damping=4.0,
+        ),
+        "panda_forearm": ImplicitActuatorCfg(
+            joint_names_expr=["panda_joint[5-7]"],
+            effort_limit=12.0,
+            velocity_limit=2.61,
+            stiffness=80.0,
+            damping=4.0,
+        ),
+        "panda_hand": ImplicitActuatorCfg(
+            joint_names_expr=["panda_finger_joint.*"],
+            effort_limit=200.0,
+            velocity_limit=0.2,
+            stiffness=2e3,
+            damping=1e2,
+        ),
+    },
+)
+"""Franka arm with stiff PD (reference FRANKA_PANDA_CFG / _HIGH_PD_CFG)."""

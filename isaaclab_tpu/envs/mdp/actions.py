@@ -1,0 +1,266 @@
+"""Action terms (reference ``envs/mdp/actions/`` — joint_actions.py,
+binary_joint_actions.py, non_holonomic_actions.py; cfgs at
+actions_cfg.py:20-254).
+"""
+
+from __future__ import annotations
+
+from dataclasses import MISSING
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...managers import ActionTerm, ActionTermCfg, SceneEntityCfg
+from ...utils import string as string_utils
+from ...utils.configclass import configclass
+
+
+class JointAction(ActionTerm):
+    """Base: regex-selected joints, scale+offset preprocessing
+    (reference joint_actions.py:JointAction)."""
+
+    def __init__(self, cfg, env):
+        super().__init__(cfg, env)
+        ids, names = self._asset.find_joints(cfg.joint_names)
+        self._joint_ids = np.asarray(ids, dtype=np.int32)
+        self._joint_names = names
+        n = len(ids)
+        scale = cfg.scale
+        if isinstance(scale, dict):
+            arr = np.ones(n)
+            idx, _, vals = string_utils.resolve_matching_names_values(scale, names)
+            for i, v in zip(idx, vals):
+                arr[i] = v
+            self._scale = jnp.asarray(arr)
+        else:
+            self._scale = jnp.asarray(float(scale))
+        offset = cfg.offset
+        if isinstance(offset, dict):
+            arr = np.zeros(n)
+            idx, _, vals = string_utils.resolve_matching_names_values(offset, names)
+            for i, v in zip(idx, vals):
+                arr[i] = v
+            self._offset = jnp.asarray(arr)
+        else:
+            self._offset = jnp.asarray(float(offset))
+        self._use_default_offset = getattr(cfg, "use_default_offset", False)
+
+    @property
+    def action_dim(self):
+        return len(self._joint_ids)
+
+    def _processed(self, env, actions):
+        offset = self._offset
+        if self._use_default_offset:
+            est = env.state.scene.entities[self.cfg.asset_name]
+            offset = est.default_joint_pos[:, self._joint_ids]
+        out = actions * self._scale + offset
+        if self.cfg.clip is not None:
+            lo, hi = self.cfg.clip
+            out = jnp.clip(out, lo, hi)
+        return out
+
+
+class JointPositionAction(JointAction):
+    """Position targets to the PD drive (reference joint_actions.py)."""
+
+    def process_actions(self, env, scene_state, actions):
+        target = self._processed(env, actions)
+        est = scene_state.entities[self.cfg.asset_name]
+        est = self._asset.set_joint_position_target(est, target, self._joint_ids)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+class RelativeJointPositionAction(JointAction):
+    """Target = current position + scaled action (reference joint_actions.py)."""
+
+    def process_actions(self, env, scene_state, actions):
+        cur = self._asset.joint_pos_from_world(scene_state.phys.q)[:, self._joint_ids]
+        target = cur + actions * self._scale
+        est = scene_state.entities[self.cfg.asset_name]
+        est = self._asset.set_joint_position_target(est, target, self._joint_ids)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+class JointVelocityAction(JointAction):
+    def process_actions(self, env, scene_state, actions):
+        target = self._processed(env, actions)
+        est = scene_state.entities[self.cfg.asset_name]
+        est = self._asset.set_joint_velocity_target(est, target, self._joint_ids)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+class JointEffortAction(JointAction):
+    def process_actions(self, env, scene_state, actions):
+        target = self._processed(env, actions)
+        est = scene_state.entities[self.cfg.asset_name]
+        est = self._asset.set_joint_effort_target(est, target, self._joint_ids)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+class EMAJointPositionToLimitsAction(JointAction):
+    """EMA-smoothed position action rescaled into joint limits
+    (reference joint_actions_to_limits.py)."""
+
+    def process_actions(self, env, scene_state, actions):
+        from ...utils import math as math_utils
+
+        alpha = float(self.cfg.alpha)
+        est = scene_state.entities[self.cfg.asset_name]
+        prev = est.joint_pos_target[:, self._joint_ids]
+        entity = self._asset
+        s = entity.slice
+        lo = jnp.asarray(
+            entity.world_model.dof_limit_lower[
+                s.dof_start : s.dof_start + s.dof_count
+            ]
+        )[self._joint_ids]
+        hi = jnp.asarray(
+            entity.world_model.dof_limit_upper[
+                s.dof_start : s.dof_start + s.dof_count
+            ]
+        )[self._joint_ids]
+        scaled = math_utils.unscale_transform(
+            jnp.clip(actions * self._scale, -1.0, 1.0), lo, hi
+        )
+        target = alpha * scaled + (1.0 - alpha) * prev
+        est = entity.set_joint_position_target(est, target, self._joint_ids)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+class BinaryJointPositionAction(ActionTerm):
+    """Gripper open/close from one scalar (reference binary_joint_actions.py)."""
+
+    def __init__(self, cfg, env):
+        super().__init__(cfg, env)
+        ids, names = self._asset.find_joints(cfg.joint_names)
+        self._joint_ids = np.asarray(ids, dtype=np.int32)
+        n = len(ids)
+
+        def resolve(cmd):
+            arr = np.zeros(n)
+            if isinstance(cmd, dict):
+                idx, _, vals = string_utils.resolve_matching_names_values(cmd, names)
+                for i, v in zip(idx, vals):
+                    arr[i] = v
+            else:
+                arr[:] = cmd
+            return jnp.asarray(arr)
+
+        self._open = resolve(cfg.open_command_expr)
+        self._close = resolve(cfg.close_command_expr)
+
+    @property
+    def action_dim(self):
+        return 1
+
+    def process_actions(self, env, scene_state, actions):
+        close = actions[:, 0] > 0.0
+        target = jnp.where(close[:, None], self._close[None], self._open[None])
+        est = scene_state.entities[self.cfg.asset_name]
+        est = self._asset.set_joint_position_target(est, target, self._joint_ids)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+class NonHolonomicAction(ActionTerm):
+    """(v, w) differential-drive action mapped onto x/y/yaw dummy joints
+    (reference non_holonomic_actions.py)."""
+
+    def __init__(self, cfg, env):
+        super().__init__(cfg, env)
+        x_ids, _ = self._asset.find_joints(cfg.x_joint_name)
+        y_ids, _ = self._asset.find_joints(cfg.y_joint_name)
+        yaw_ids, _ = self._asset.find_joints(cfg.yaw_joint_name)
+        self._ids = np.asarray([x_ids[0], y_ids[0], yaw_ids[0]], dtype=np.int32)
+        self._scale = jnp.asarray(cfg.scale)
+        self._offset = jnp.asarray(cfg.offset)
+
+    @property
+    def action_dim(self):
+        return 2
+
+    def process_actions(self, env, scene_state, actions):
+        acts = actions * self._scale + self._offset
+        jp = self._asset.joint_pos_from_world(scene_state.phys.q)
+        yaw = jp[:, self._ids[2]]
+        vx = acts[:, 0] * jnp.cos(yaw)
+        vy = acts[:, 0] * jnp.sin(yaw)
+        target = jnp.stack([vx, vy, acts[:, 1]], axis=-1)
+        est = scene_state.entities[self.cfg.asset_name]
+        est = self._asset.set_joint_velocity_target(est, target, self._ids)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+# -----------------------------------------------------------------------------
+# Cfgs (reference actions_cfg.py:20-254)
+# -----------------------------------------------------------------------------
+
+
+@configclass
+class JointActionCfg(ActionTermCfg):
+    joint_names: list = MISSING
+    scale: object = 1.0
+    offset: object = 0.0
+    preserve_order: bool = False
+
+
+@configclass
+class JointPositionActionCfg(JointActionCfg):
+    class_type: type = JointPositionAction
+    use_default_offset: bool = True
+
+
+@configclass
+class RelativeJointPositionActionCfg(JointActionCfg):
+    class_type: type = RelativeJointPositionAction
+    use_zero_offset: bool = True
+
+
+@configclass
+class JointVelocityActionCfg(JointActionCfg):
+    class_type: type = JointVelocityAction
+    use_default_offset: bool = True
+
+
+@configclass
+class JointEffortActionCfg(JointActionCfg):
+    class_type: type = JointEffortAction
+
+
+@configclass
+class EMAJointPositionToLimitsActionCfg(JointActionCfg):
+    class_type: type = EMAJointPositionToLimitsAction
+    alpha: float = 1.0
+    rescale_to_limits: bool = True
+
+
+@configclass
+class BinaryJointPositionActionCfg(ActionTermCfg):
+    class_type: type = BinaryJointPositionAction
+    joint_names: list = MISSING
+    open_command_expr: dict = MISSING
+    close_command_expr: dict = MISSING
+
+
+@configclass
+class NonHolonomicActionCfg(ActionTermCfg):
+    class_type: type = NonHolonomicAction
+    x_joint_name: str = MISSING
+    y_joint_name: str = MISSING
+    yaw_joint_name: str = MISSING
+    scale: tuple = (1.0, 1.0)
+    offset: tuple = (0.0, 0.0)

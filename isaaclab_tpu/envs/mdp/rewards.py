@@ -1,0 +1,220 @@
+"""Reward terms (reference ``envs/mdp/rewards.py:31-309`` + locomotion
+``velocity/mdp/rewards.py``). Same names and formulas; pure over the context.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...managers import SceneEntityCfg
+from ...utils import math as math_utils
+
+_DEFAULT = SceneEntityCfg("robot")
+
+
+def _sel(x, ids):
+    if isinstance(ids, slice):
+        return x[:, ids]
+    return x[:, jnp.asarray(ids)]
+
+
+# -- general --
+
+
+def is_alive(env):
+    """1 while not terminated (reference rewards.py:31). Approximated by 1
+    minus nothing: termination-aware shaping uses is_terminated instead."""
+    return jnp.ones(env.num_envs)
+
+
+def is_terminated(env):
+    """Penalty on the steps where a non-timeout reset fires: recomputed from
+    the termination manager inside the same trace (cheap, fused)."""
+    terminated, _, _ = env._env.termination_manager.compute(env)
+    return terminated.astype(jnp.float32)
+
+
+# -- base tracking / stability --
+
+
+def lin_vel_z_l2(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    return jnp.square(env.scene[asset_cfg.name].data.root_lin_vel_b[:, 2])
+
+
+def ang_vel_xy_l2(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    return jnp.sum(
+        jnp.square(env.scene[asset_cfg.name].data.root_ang_vel_b[:, :2]), axis=1
+    )
+
+
+def flat_orientation_l2(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    return jnp.sum(
+        jnp.square(env.scene[asset_cfg.name].data.projected_gravity_b[:, :2]), axis=1
+    )
+
+
+def base_height_l2(env, target_height: float, asset_cfg: SceneEntityCfg = _DEFAULT,
+                   sensor_cfg: SceneEntityCfg = None):
+    data = env.scene[asset_cfg.name].data
+    if sensor_cfg is not None:
+        hits = env.scene[sensor_cfg.name].data.ray_hits_w[..., 2]
+        ground = jnp.mean(hits, axis=1)
+        height = data.root_pos_w[:, 2] - ground
+    else:
+        height = data.root_pos_w[:, 2]
+    return jnp.square(height - target_height)
+
+
+def body_lin_acc_l2(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    data = env.scene[asset_cfg.name].data
+    acc = data.joint_acc
+    return jnp.sum(jnp.square(acc), axis=1)
+
+
+# -- joint penalties --
+
+
+def joint_torques_l2(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    return jnp.sum(
+        jnp.square(_sel(env.scene[asset_cfg.name].data.applied_torque, asset_cfg.joint_ids)),
+        axis=1,
+    )
+
+
+def joint_vel_l1(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    return jnp.sum(
+        jnp.abs(_sel(env.scene[asset_cfg.name].data.joint_vel, asset_cfg.joint_ids)), axis=1
+    )
+
+
+def joint_vel_l2(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    return jnp.sum(
+        jnp.square(_sel(env.scene[asset_cfg.name].data.joint_vel, asset_cfg.joint_ids)),
+        axis=1,
+    )
+
+
+def joint_acc_l2(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    return jnp.sum(
+        jnp.square(_sel(env.scene[asset_cfg.name].data.joint_acc, asset_cfg.joint_ids)),
+        axis=1,
+    )
+
+
+def joint_deviation_l1(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    data = env.scene[asset_cfg.name].data
+    dev = _sel(data.joint_pos - data.default_joint_pos, asset_cfg.joint_ids)
+    return jnp.sum(jnp.abs(dev), axis=1)
+
+
+def joint_pos_target_l2(env, target: float, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """L2 distance of joint positions from a target (reference rewards.py)."""
+    pos = _sel(env.scene[asset_cfg.name].data.joint_pos, asset_cfg.joint_ids)
+    return jnp.sum(jnp.square(pos - target), axis=1)
+
+
+def joint_pos_limits(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    data = env.scene[asset_cfg.name].data
+    lim = data.soft_joint_pos_limits
+    under = -jnp.minimum(data.joint_pos - lim[..., 0], 0.0)
+    over = jnp.maximum(data.joint_pos - lim[..., 1], 0.0)
+    return jnp.sum(_sel(under + over, asset_cfg.joint_ids), axis=1)
+
+
+def joint_vel_limits(env, soft_ratio: float, asset_cfg: SceneEntityCfg = _DEFAULT):
+    data = env.scene[asset_cfg.name].data
+    over = jnp.abs(data.joint_vel) - data.joint_vel_limits * soft_ratio
+    return jnp.sum(jnp.clip(_sel(over, asset_cfg.joint_ids), 0.0, 1.0), axis=1)
+
+
+def applied_torque_limits(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    data = env.scene[asset_cfg.name].data
+    return jnp.sum(
+        jnp.abs(_sel(data.applied_torque - data.computed_torque, asset_cfg.joint_ids)),
+        axis=1,
+    )
+
+
+# -- action penalties --
+
+
+def action_rate_l2(env):
+    am = env.action_manager
+    return jnp.sum(jnp.square(am.action - am.prev_action), axis=1)
+
+
+def action_l2(env):
+    return jnp.sum(jnp.square(env.action_manager.action), axis=1)
+
+
+# -- contacts --
+
+
+def undesired_contacts(env, threshold: float, sensor_cfg: SceneEntityCfg):
+    sensor = env.scene[sensor_cfg.name]
+    forces = sensor.data.net_forces_w  # (E, B, 3)
+    f = jnp.linalg.norm(_sel_body(forces, sensor_cfg.body_ids), axis=-1)
+    return jnp.sum((f > threshold).astype(jnp.float32), axis=1)
+
+
+def contact_forces(env, threshold: float, sensor_cfg: SceneEntityCfg):
+    sensor = env.scene[sensor_cfg.name]
+    forces = sensor.data.net_forces_w
+    f = jnp.linalg.norm(_sel_body(forces, sensor_cfg.body_ids), axis=-1)
+    return jnp.sum(jnp.clip(f - threshold, 0.0, None), axis=1)
+
+
+def _sel_body(x, ids):
+    if isinstance(ids, slice):
+        return x[:, ids]
+    return x[:, jnp.asarray(ids)]
+
+
+# -- velocity-command tracking (reference velocity/mdp/rewards.py) --
+
+
+def track_lin_vel_xy_exp(env, std: float, command_name: str = "base_velocity",
+                         asset_cfg: SceneEntityCfg = _DEFAULT):
+    data = env.scene[asset_cfg.name].data
+    cmd = env.command_manager.get_command(command_name)
+    err = jnp.sum(jnp.square(cmd[:, :2] - data.root_lin_vel_b[:, :2]), axis=1)
+    return jnp.exp(-err / std**2)
+
+
+def track_ang_vel_z_exp(env, std: float, command_name: str = "base_velocity",
+                        asset_cfg: SceneEntityCfg = _DEFAULT):
+    data = env.scene[asset_cfg.name].data
+    cmd = env.command_manager.get_command(command_name)
+    err = jnp.square(cmd[:, 2] - data.root_ang_vel_b[:, 2])
+    return jnp.exp(-err / std**2)
+
+
+def feet_air_time(env, command_name: str, threshold: float,
+                  sensor_cfg: SceneEntityCfg):
+    """Reward long swing phases (reference velocity/mdp/rewards.py
+    feet_air_time): sum of (last_air_time - threshold) at touchdown, gated on
+    nonzero command."""
+    sensor = env.scene[sensor_cfg.name]
+    state = sensor._state
+    first_contact = sensor.compute_first_contact(state, env.step_dt)
+    last_air = _sel_body(state.last_air_time, sensor_cfg.body_ids)
+    first = _sel_body(first_contact, sensor_cfg.body_ids)
+    reward = jnp.sum((last_air - threshold) * first.astype(jnp.float32), axis=1)
+    cmd = env.command_manager.get_command(command_name)
+    return reward * (jnp.linalg.norm(cmd[:, :2], axis=1) > 0.1)
+
+
+def feet_slide(env, sensor_cfg: SceneEntityCfg, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """Penalize foot sliding while in contact."""
+    sensor = env.scene[sensor_cfg.name]
+    contacts = (
+        jnp.linalg.norm(
+            _sel_body(sensor.data.net_forces_w, sensor_cfg.body_ids), axis=-1
+        )
+        > 1.0
+    )
+    data = env.scene[asset_cfg.name].data
+    vel = _sel_body(data.body_lin_vel_w, asset_cfg.body_ids)
+    return jnp.sum(
+        jnp.linalg.norm(vel[..., :2], axis=-1) * contacts.astype(jnp.float32), axis=1
+    )

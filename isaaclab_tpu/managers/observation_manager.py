@@ -159,7 +159,30 @@ class ObservationManager(ManagerBase):
         return results, histories, mod_states
 
     # ------------------------------------------------------------------
+    def discover_dims(self):
+        """Fill term dims without any concrete state: abstract-evaluate the
+        whole env-init + term pipeline (zero FLOPs; replaces the reference's
+        probe-call trick at observation_manager.py:420)."""
+        if self._term_dims:
+            return
+
+        env = self._env
+
+        def probe():
+            state = env.init_state()
+            ctx = env.make_context(state)
+            out = {}
+            for group, cfgs in self._group_term_cfgs.items():
+                for name, cfg in zip(self._group_term_names[group], cfgs):
+                    out[(group, name)] = cfg.func(ctx, **cfg.params)
+            return out
+
+        shapes = jax.eval_shape(probe)
+        for key, sds in shapes.items():
+            self._term_dims[key] = sds.shape[1:]
+
     def group_obs_dim(self, group) -> tuple:
+        self.discover_dims()
         dims = 0
         for name, cfg in zip(
             self._group_term_names[group], self._group_term_cfgs[group]

@@ -241,15 +241,26 @@ class CollisionPlan:
             self.pairs
         )
 
-    def detect(self, kin: Kinematics, terrain=None) -> Contacts:
-        """Compute all candidate contacts for one env instance."""
+    def detect(self, kin: Kinematics, terrain=None, terrain_offset=None) -> Contacts:
+        """Compute all candidate contacts for one env instance.
+
+        ``terrain_offset``: (3,) per-env terrain-cell shift — queries sample
+        ``H(xy + off_xy) - off_z`` so envs stay near the origin while living
+        on different cells of a shared height field.
+        """
         pos_list, nrm_list, depth_list = [], [], []
         body_a, body_b, fric, rest = [], [], [], []
 
         for g in self.ground_geoms:
             gp, gq = _geom_world_pose(kin, g)
             probes, radii = _ground_candidates_for_geom(g, gp, gq, terrain)
-            h, n = _terrain_height_normal(terrain, probes[..., :2])
+            if terrain is not None and terrain_offset is not None:
+                h, n = _terrain_height_normal(
+                    terrain, probes[..., :2] + terrain_offset[:2]
+                )
+                h = h - terrain_offset[2]
+            else:
+                h, n = _terrain_height_normal(terrain, probes[..., :2])
             # signed distance of probe center above the surface, measured along
             # the surface normal (vertical-gap * n_z approximation, exact for
             # flat ground): depth > 0 means the swept sphere penetrates.

@@ -78,6 +78,7 @@ class PhysicsState(NamedTuple):
 
     q: jnp.ndarray  # (nq,)
     qd: jnp.ndarray  # (nv,)
+    qd_prev: jnp.ndarray  # (nv,) velocity before the last step (for accels)
     f_ext_w: jnp.ndarray  # (nbody, 6) external world wrenches at body origins
     warm_lambda: jnp.ndarray  # (nrows,) solver warm start
     contact_force_w: jnp.ndarray  # (ncon, 3) last-step contact forces
@@ -88,6 +89,7 @@ class PhysicsState(NamedTuple):
         return PhysicsState(
             q=q,
             qd=jnp.zeros(model.nv),
+            qd_prev=jnp.zeros(model.nv),
             f_ext_w=jnp.zeros((model.nbody, 6)),
             warm_lambda=jnp.zeros(3 * ncon + n_lim_rows),
             contact_force_w=jnp.zeros((ncon, 3)),
@@ -140,6 +142,7 @@ def step(
     params: BodyParams,
     cfg: EngineCfg,
     terrain=None,
+    terrain_offset=None,
 ) -> tuple[PhysicsState, Kinematics, Contacts]:
     """One physics step for a single env instance (vmap over envs outside).
 
@@ -181,7 +184,7 @@ def step(
     qdd_free = jax.scipy.linalg.cho_solve((H_chol, True), tau - C)
     v_free = state.qd + dt * qdd_free
 
-    contacts = plan.detect(kin, terrain)
+    contacts = plan.detect(kin, terrain, terrain_offset)
     contacts = contacts._replace(friction=contacts.friction * params.friction_scale)
 
     result = solve_constraints(
@@ -213,6 +216,7 @@ def step(
         PhysicsState(
             q=q_new,
             qd=qd_new,
+            qd_prev=state.qd,
             f_ext_w=state.f_ext_w,
             warm_lambda=lam,
             contact_force_w=result.contact_force_w,

@@ -1,0 +1,19 @@
+"""RL stack (reference ``source/isaaclab_rl/`` + in-repo rsl-rl replacement)."""
+
+from .networks import (  # noqa: F401
+    ActorCritic,
+    ActorCriticCascade,
+    ActorCriticRecurrent,
+    NormalizerState,
+)
+from .ppo import Transition, compute_gae, ppo_update  # noqa: F401
+from .rl_cfg import (  # noqa: F401
+    RslRlOnPolicyRunnerCfg,
+    RslRlPpoActorCriticCascadeCfg,
+    RslRlPpoActorCriticCfg,
+    RslRlPpoActorCriticRecurrentCfg,
+    RslRlPpoAlgorithmCfg,
+    RslRlPpoCascadeAlgorithmCfg,
+)
+from .runner import OnPolicyRunner, TrainState  # noqa: F401
+from .vecenv_wrapper import RslRlVecEnvWrapper  # noqa: F401

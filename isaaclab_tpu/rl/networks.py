@@ -1,0 +1,172 @@
+"""Policy networks (the in-repo replacement for rsl-rl's actor-critic models,
+SURVEY.md §2.10 row 7): Flax MLP / recurrent LSTM / fork-style cascade
+actor-critic, plus empirical observation normalization as an explicit state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_ACT = {
+    "elu": nn.elu,
+    "relu": nn.relu,
+    "tanh": jnp.tanh,
+    "selu": nn.selu,
+    "lrelu": nn.leaky_relu,
+    "softsign": nn.soft_sign,
+}
+
+
+class MLP(nn.Module):
+    dims: tuple
+    out: int
+    activation: str = "elu"
+
+    @nn.compact
+    def __call__(self, x):
+        a = _ACT[self.activation]
+        for d in self.dims:
+            x = a(nn.Dense(d)(x))
+        return nn.Dense(self.out)(x)
+
+
+class ActorCritic(nn.Module):
+    """Gaussian-policy actor + value critic (rsl-rl ActorCritic equivalent)."""
+
+    num_actions: int
+    actor_dims: tuple = (256, 256, 128)
+    critic_dims: tuple = (256, 256, 128)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs, critic_obs=None):
+        critic_obs = critic_obs if critic_obs is not None else obs
+        mean = MLP(self.actor_dims, self.num_actions, self.activation,
+                   name="actor")(obs)
+        value = MLP(self.critic_dims, 1, self.activation, name="critic")(
+            critic_obs
+        )[..., 0]
+        log_std = self.param(
+            "log_std",
+            lambda key: jnp.full((self.num_actions,), jnp.log(self.init_noise_std)),
+        )
+        return mean, log_std, value
+
+
+class RecurrentCarry(NamedTuple):
+    actor: tuple  # (c, h)
+    critic: tuple
+
+
+class ActorCriticRecurrent(nn.Module):
+    """LSTM actor-critic (rsl-rl ActorCriticRecurrent / fork LidarGuideRNN).
+
+    The recurrent carry is threaded explicitly; reset masks zero it.
+    """
+
+    num_actions: int
+    actor_dims: tuple = (256,)
+    critic_dims: tuple = (256,)
+    hidden_size: int = 256
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs, carry: RecurrentCarry, critic_obs=None):
+        critic_obs = critic_obs if critic_obs is not None else obs
+        a_cell = nn.OptimizedLSTMCell(self.hidden_size, name="actor_lstm")
+        c_cell = nn.OptimizedLSTMCell(self.hidden_size, name="critic_lstm")
+        a_carry, a_out = a_cell(carry.actor, obs)
+        c_carry, c_out = c_cell(carry.critic, critic_obs)
+        mean = MLP(self.actor_dims, self.num_actions, self.activation,
+                   name="actor")(a_out)
+        value = MLP(self.critic_dims, 1, self.activation, name="critic")(c_out)[..., 0]
+        log_std = self.param(
+            "log_std",
+            lambda key: jnp.full((self.num_actions,), jnp.log(self.init_noise_std)),
+        )
+        return mean, log_std, value, RecurrentCarry(actor=a_carry, critic=c_carry)
+
+    def init_carry(self, batch: int) -> RecurrentCarry:
+        z = jnp.zeros((batch, self.hidden_size))
+        return RecurrentCarry(actor=(z, z), critic=(z, z))
+
+
+class ActorCriticCascade(nn.Module):
+    """Fork's cascade actor (reference rl_cfg.py:22-34 ActorCriticCascade):
+    stage-1 MLP on the base obs produces a latent; stage-2 head refines the
+    action from (latent, cascade obs slice)."""
+
+    num_actions: int
+    actor_dims: tuple = (256, 256)
+    critic_dims: tuple = (256, 256)
+    cascade_dims: tuple = (128, 64)
+    cascade_obs_dim: int = 0
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs, critic_obs=None):
+        critic_obs = critic_obs if critic_obs is not None else obs
+        a = _ACT[self.activation]
+        x = obs
+        for d in self.actor_dims:
+            x = a(nn.Dense(d)(x))
+        latent = x
+        stage1 = nn.Dense(self.num_actions, name="stage1")(latent)
+        cascade_in = jnp.concatenate(
+            [latent, obs[..., : self.cascade_obs_dim], stage1], axis=-1
+        )
+        y = cascade_in
+        for d in self.cascade_dims:
+            y = a(nn.Dense(d)(y))
+        delta = nn.Dense(self.num_actions, name="stage2")(y)
+        mean = stage1 + delta
+        value = MLP(self.critic_dims, 1, self.activation, name="critic")(
+            critic_obs
+        )[..., 0]
+        log_std = self.param(
+            "log_std",
+            lambda key: jnp.full((self.num_actions,), jnp.log(self.init_noise_std)),
+        )
+        return mean, log_std, value
+
+
+class NormalizerState(NamedTuple):
+    """Welford running mean/var (rsl-rl EmpiricalNormalization equivalent)."""
+
+    mean: jnp.ndarray
+    var: jnp.ndarray
+    count: jnp.ndarray
+
+    @staticmethod
+    def create(dim: int) -> "NormalizerState":
+        return NormalizerState(
+            mean=jnp.zeros(dim), var=jnp.ones(dim), count=jnp.asarray(1e-4)
+        )
+
+
+def normalizer_update(state: NormalizerState, batch) -> NormalizerState:
+    """Update running stats with a (N, dim) batch."""
+    flat = batch.reshape(-1, batch.shape[-1])
+    b_mean = jnp.mean(flat, axis=0)
+    b_var = jnp.var(flat, axis=0)
+    b_count = flat.shape[0]
+    delta = b_mean - state.mean
+    tot = state.count + b_count
+    mean = state.mean + delta * (b_count / tot)
+    m_a = state.var * state.count
+    m_b = b_var * b_count
+    var = (m_a + m_b + jnp.square(delta) * state.count * b_count / tot) / tot
+    return NormalizerState(mean=mean, var=var, count=tot)
+
+
+def normalize_obs(state: NormalizerState, obs, clip: float = 10.0):
+    return jnp.clip(
+        (obs - state.mean) / jnp.sqrt(state.var + 1e-8), -clip, clip
+    )

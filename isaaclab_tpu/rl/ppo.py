@@ -1,0 +1,172 @@
+"""PPO algorithm (the in-repo rsl-rl ``PPO`` replacement, SURVEY.md §2.10):
+GAE, clipped surrogate + clipped value loss, entropy bonus, minibatch epochs,
+adaptive-KL learning rate — all pure jax, jitted as one update step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .rl_cfg import RslRlPpoAlgorithmCfg
+
+
+class Transition(NamedTuple):
+    """One rollout step across all envs (stacked to (T, E, ...) by scan)."""
+
+    obs: jnp.ndarray
+    critic_obs: jnp.ndarray
+    action: jnp.ndarray
+    log_prob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray  # terminated | truncated
+    time_out: jnp.ndarray
+
+
+def gaussian_log_prob(mean, log_std, action):
+    var = jnp.exp(2.0 * log_std)
+    return jnp.sum(
+        -0.5 * jnp.square(action - mean) / var - log_std - 0.5 * jnp.log(2 * jnp.pi),
+        axis=-1,
+    )
+
+
+def gaussian_entropy(log_std):
+    return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
+
+
+def compute_gae(rewards, values, dones, time_outs, last_value, gamma, lam):
+    """Generalized advantage estimation over a (T, E) rollout.
+
+    rsl-rl semantics: bootstrap on time-outs (reward += gamma * value) happens
+    before calling this; dones cut the trace.
+    """
+    T = rewards.shape[0]
+
+    def body(carry, t):
+        gae = carry
+        next_value = jnp.where(t == T - 1, last_value, values[(t + 1) % T])
+        not_done = 1.0 - dones[t].astype(jnp.float32)
+        delta = rewards[t] + gamma * next_value * not_done - values[t]
+        gae = delta + gamma * lam * not_done * gae
+        return gae, gae
+
+    _, adv_rev = jax.lax.scan(
+        body, jnp.zeros_like(last_value), jnp.arange(T - 1, -1, -1)
+    )
+    advantages = adv_rev[::-1]
+    returns = advantages + values
+    return advantages, returns
+
+
+class PPOUpdateState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    learning_rate: jnp.ndarray
+
+
+def make_optimizer(cfg: RslRlPpoAlgorithmCfg):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
+    )
+
+
+def ppo_update(
+    apply_fn,
+    state: PPOUpdateState,
+    optimizer,
+    batch: Transition,
+    advantages,
+    returns,
+    cfg: RslRlPpoAlgorithmCfg,
+    key,
+):
+    """Epochs x minibatches of clipped PPO with adaptive-KL LR
+    (rsl-rl PPO.update equivalent). ``batch`` arrays are (N, ...) flattened."""
+    N = batch.obs.shape[0]
+    mb_size = N // cfg.num_mini_batches
+    if not cfg.normalize_advantage_per_mini_batch:
+        advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+
+    def loss_fn(params, mb, adv, ret):
+        mean, log_std, value = apply_fn(params, mb.obs, mb.critic_obs)
+        log_prob = gaussian_log_prob(mean, log_std, mb.action)
+        ratio = jnp.exp(log_prob - mb.log_prob)
+        adv_n = adv
+        if cfg.normalize_advantage_per_mini_batch:
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        surr1 = ratio * adv_n
+        surr2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * adv_n
+        policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        if cfg.use_clipped_value_loss:
+            v_clipped = mb.value + jnp.clip(
+                value - mb.value, -cfg.clip_param, cfg.clip_param
+            )
+            value_loss = jnp.mean(
+                jnp.maximum(
+                    jnp.square(value - ret), jnp.square(v_clipped - ret)
+                )
+            )
+        else:
+            value_loss = jnp.mean(jnp.square(value - ret))
+        entropy = jnp.mean(gaussian_entropy(log_std))
+        total = (
+            policy_loss
+            + cfg.value_loss_coef * value_loss
+            - cfg.entropy_coef * entropy
+        )
+        # approximate KL for adaptive LR (rsl-rl formula)
+        kl = jnp.mean(mb.log_prob - log_prob)
+        return total, (policy_loss, value_loss, entropy, kl)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def minibatch_step(carry, idx):
+        params, opt_state, lr = carry
+        mb = jax.tree.map(lambda x: x[idx], batch)
+        adv = advantages[idx]
+        ret = returns[idx]
+        (loss, (pl, vl, ent, kl)), grads = grad_fn(params, mb, adv, ret)
+        # collective-friendly: grads are averaged by pmean at the caller when
+        # running data-parallel (runner wraps this in shard_map)
+        if cfg.schedule == "adaptive" and cfg.desired_kl is not None:
+            lr = jnp.where(kl > cfg.desired_kl * 2.0, jnp.maximum(lr / 1.5, 1e-5), lr)
+            lr = jnp.where(
+                (kl < cfg.desired_kl / 2.0) & (kl > 0.0),
+                jnp.minimum(lr * 1.5, 1e-2),
+                lr,
+            )
+        opt_state[1].hyperparams["learning_rate"] = lr
+        updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state_new, lr), jnp.stack([loss, pl, vl, ent, kl])
+
+    def epoch_step(carry, k):
+        perm = jax.random.permutation(k, N)
+        idxs = perm[: mb_size * cfg.num_mini_batches].reshape(
+            cfg.num_mini_batches, mb_size
+        )
+        carry, metrics = jax.lax.scan(minibatch_step, carry, idxs)
+        return carry, metrics
+
+    keys = jax.random.split(key, cfg.num_learning_epochs)
+    (params, opt_state, lr), metrics = jax.lax.scan(
+        epoch_step, (state.params, state.opt_state, state.learning_rate), keys
+    )
+    metrics = jnp.mean(metrics.reshape(-1, 5), axis=0)
+    return (
+        PPOUpdateState(params=params, opt_state=opt_state, learning_rate=lr),
+        {
+            "loss": metrics[0],
+            "policy_loss": metrics[1],
+            "value_loss": metrics[2],
+            "entropy": metrics[3],
+            "kl": metrics[4],
+            "learning_rate": lr,
+        },
+    )

@@ -1,0 +1,92 @@
+"""RL configuration dataclasses (reference ``isaaclab_rl/rsl_rl/rl_cfg.py``).
+
+Same hyperparameter surface as the reference (rl_cfg.py:108-179) including the
+fork's cascade/PPOCA additions (rl_cfg.py:22-34,166-170), consumed by the
+in-repo Flax PPO runner instead of the external rsl-rl-lib.
+"""
+
+from __future__ import annotations
+
+from dataclasses import MISSING
+
+from ..utils.configclass import configclass
+
+
+@configclass
+class RslRlPpoActorCriticCfg:
+    """Reference ``RslRlPpoActorCriticCfg``."""
+
+    class_name: str = "ActorCritic"
+    init_noise_std: float = 1.0
+    actor_hidden_dims: list = [256, 256, 128]
+    critic_hidden_dims: list = [256, 256, 128]
+    activation: str = "elu"
+    noise_std_type: str = "scalar"
+
+
+@configclass
+class RslRlPpoActorCriticRecurrentCfg(RslRlPpoActorCriticCfg):
+    """Reference ``ActorCriticRecurrent`` cfg."""
+
+    class_name: str = "ActorCriticRecurrent"
+    rnn_type: str = "lstm"
+    rnn_hidden_size: int = 256
+    rnn_num_layers: int = 1
+
+
+@configclass
+class RslRlPpoActorCriticCascadeCfg(RslRlPpoActorCriticCfg):
+    """Fork addition (reference rl_cfg.py:22-34): cascade actor whose second
+    stage consumes the first stage's latent + a privileged obs subset."""
+
+    class_name: str = "ActorCriticCascade"
+    cascade_hidden_dims: list = [128, 64]
+    cascade_obs_dim: int = 0
+
+
+@configclass
+class RslRlPpoAlgorithmCfg:
+    """Reference ``RslRlPpoAlgorithmCfg`` (rl_cfg.py:108-164)."""
+
+    class_name: str = "PPO"
+    value_loss_coef: float = 1.0
+    use_clipped_value_loss: bool = True
+    clip_param: float = 0.2
+    entropy_coef: float = 0.005
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    learning_rate: float = 1e-3
+    schedule: str = "adaptive"
+    gamma: float = 0.99
+    lam: float = 0.95
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+    normalize_advantage_per_mini_batch: bool = False
+
+
+@configclass
+class RslRlPpoCascadeAlgorithmCfg(RslRlPpoAlgorithmCfg):
+    """Fork's PPOCA variant (reference rl_cfg.py:166-170)."""
+
+    class_name: str = "PPOCA"
+    cascade_loss_coef: float = 1.0
+
+
+@configclass
+class RslRlOnPolicyRunnerCfg:
+    """Reference ``RslRlOnPolicyRunnerCfg`` (rl_cfg.py:179)."""
+
+    seed: int = 42
+    device: str = "tpu"
+    num_steps_per_env: int = 24
+    max_iterations: int = MISSING
+    empirical_normalization: bool = False
+    policy: RslRlPpoActorCriticCfg = MISSING
+    algorithm: RslRlPpoAlgorithmCfg = MISSING
+    save_interval: int = 50
+    experiment_name: str = MISSING
+    run_name: str = ""
+    logger: str = "tensorboard"
+    resume: bool = False
+    load_run: str = ".*"
+    load_checkpoint: str = "model_.*.pt"

@@ -1,0 +1,332 @@
+"""On-policy runner (the in-repo ``rsl_rl.runners.OnPolicyRunner`` replacement;
+reference call stack SURVEY.md §3.1).
+
+One training iteration — on-device ``lax.scan`` rollout over the env's pure
+step + the PPO update — compiles to a single jitted function; the host loop
+only logs and checkpoints. Data parallelism (SURVEY.md §2.10 parallelism
+inventory) shards envs over the mesh's ``data`` axis via sharding constraints:
+gradients are averaged by XLA-inserted collectives, the learner stays
+replicated.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .networks import (
+    ActorCritic,
+    ActorCriticCascade,
+    NormalizerState,
+    normalize_obs,
+    normalizer_update,
+)
+from .ppo import (
+    PPOUpdateState,
+    Transition,
+    compute_gae,
+    gaussian_log_prob,
+    make_optimizer,
+    ppo_update,
+)
+from .rl_cfg import RslRlOnPolicyRunnerCfg
+
+
+class TrainState(NamedTuple):
+    update: PPOUpdateState
+    env_state: object
+    last_obs: jnp.ndarray
+    last_critic_obs: jnp.ndarray
+    normalizer: NormalizerState
+    critic_normalizer: NormalizerState
+    key: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+class OnPolicyRunner:
+    """Reference ``OnPolicyRunner`` API: ``learn``, ``save``, ``load``,
+    ``get_inference_policy`` (train.py:167,183)."""
+
+    def __init__(self, env, train_cfg: RslRlOnPolicyRunnerCfg, log_dir=None,
+                 device="tpu"):
+        self.env = env
+        self.cfg = train_cfg
+        self.alg_cfg = train_cfg.algorithm
+        self.policy_cfg = train_cfg.policy
+        self.log_dir = log_dir
+        self.device = device
+
+        uenv = env.unwrapped
+        self.num_envs = uenv.num_envs
+        self.num_steps = int(train_cfg.num_steps_per_env)
+
+        # obs dims from the env's manager (policy + optional critic group)
+        om = uenv.observation_manager
+        self.obs_dim = om.group_obs_dim("policy")[0]
+        self.critic_group = "critic" if "critic" in om.group_names() else "policy"
+        self.critic_obs_dim = om.group_obs_dim(self.critic_group)[0]
+        self.num_actions = uenv.action_manager.total_action_dim
+
+        if self.policy_cfg.class_name == "ActorCriticCascade":
+            self.net = ActorCriticCascade(
+                num_actions=self.num_actions,
+                actor_dims=tuple(self.policy_cfg.actor_hidden_dims),
+                critic_dims=tuple(self.policy_cfg.critic_hidden_dims),
+                cascade_dims=tuple(self.policy_cfg.cascade_hidden_dims),
+                cascade_obs_dim=self.policy_cfg.cascade_obs_dim,
+                activation=self.policy_cfg.activation,
+                init_noise_std=self.policy_cfg.init_noise_std,
+            )
+        else:
+            self.net = ActorCritic(
+                num_actions=self.num_actions,
+                actor_dims=tuple(self.policy_cfg.actor_hidden_dims),
+                critic_dims=tuple(self.policy_cfg.critic_hidden_dims),
+                activation=self.policy_cfg.activation,
+                init_noise_std=self.policy_cfg.init_noise_std,
+            )
+        self.optimizer = make_optimizer(self.alg_cfg)
+        self._train_iter_fn = None
+        self.writer = None
+        self.state: TrainState | None = None
+
+    # ------------------------------------------------------------------
+    def _apply(self, params, obs, critic_obs):
+        return self.net.apply(params, obs, critic_obs)
+
+    def init_train_state(self, seed: int | None = None) -> TrainState:
+        seed = seed if seed is not None else self.cfg.seed
+        key = jax.random.PRNGKey(seed)
+        k_net, k_env, key = jax.random.split(key, 3)
+        uenv = self.env.unwrapped
+        env_state = uenv.init_state(k_env)
+        ctx = uenv.make_context(env_state)
+        k_obs, key = jax.random.split(key)
+        obs_dict, obs_state = uenv.observation_manager.compute(
+            ctx, env_state.obs, k_obs
+        )
+        env_state = env_state._replace(obs=obs_state)
+        obs = obs_dict["policy"]
+        critic_obs = obs_dict.get(self.critic_group, obs)
+        params = self.net.init(
+            k_net, jnp.zeros((1, self.obs_dim)), jnp.zeros((1, self.critic_obs_dim))
+        )
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            update=PPOUpdateState(
+                params=params,
+                opt_state=opt_state,
+                learning_rate=jnp.asarray(self.alg_cfg.learning_rate),
+            ),
+            env_state=env_state,
+            last_obs=obs,
+            last_critic_obs=critic_obs,
+            normalizer=NormalizerState.create(self.obs_dim),
+            critic_normalizer=NormalizerState.create(self.critic_obs_dim),
+            key=key,
+            iteration=jnp.asarray(0, dtype=jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _rollout(self, state: TrainState):
+        """num_steps x env.step_state under lax.scan; returns (T, E, ...)."""
+        uenv = self.env.unwrapped
+        use_norm = self.cfg.empirical_normalization
+
+        def step(carry, _):
+            env_state, obs, critic_obs, key = carry
+            key, k_act = jax.random.split(key)
+            n_obs = normalize_obs(state.normalizer, obs) if use_norm else obs
+            n_cobs = (
+                normalize_obs(state.critic_normalizer, critic_obs)
+                if use_norm
+                else critic_obs
+            )
+            mean, log_std, value = self._apply(
+                state.update.params, n_obs, n_cobs
+            )
+            action = mean + jnp.exp(log_std) * jax.random.normal(
+                k_act, mean.shape
+            )
+            log_prob = gaussian_log_prob(mean, log_std, action)
+            env_state, (next_obs_d, reward, terminated, time_outs, extras) = (
+                uenv.step_state(env_state, action)
+            )
+            next_obs = next_obs_d["policy"]
+            next_cobs = next_obs_d.get(self.critic_group, next_obs)
+            done = terminated | time_outs
+            # rsl-rl: bootstrap value through time-outs
+            reward_b = reward + self.alg_cfg.gamma * value * time_outs.astype(
+                jnp.float32
+            )
+            trans = Transition(
+                obs=n_obs,
+                critic_obs=n_cobs,
+                action=action,
+                log_prob=log_prob,
+                value=value,
+                reward=reward_b,
+                done=done,
+                time_out=time_outs,
+            )
+            log = extras["log"]
+            return (env_state, next_obs, next_cobs, key), (trans, reward, log)
+
+        (env_state, last_obs, last_cobs, key), (traj, raw_rewards, logs) = (
+            jax.lax.scan(
+                step,
+                (state.env_state, state.last_obs, state.last_critic_obs, state.key),
+                None,
+                length=self.num_steps,
+            )
+        )
+        return env_state, last_obs, last_cobs, key, traj, raw_rewards, logs
+
+    def _train_iteration(self, state: TrainState):
+        env_state, last_obs, last_cobs, key, traj, raw_rewards, logs = (
+            self._rollout(state)
+        )
+        use_norm = self.cfg.empirical_normalization
+        normalizer = state.normalizer
+        critic_normalizer = state.critic_normalizer
+        if use_norm:
+            normalizer = normalizer_update(normalizer, traj.obs)
+            critic_normalizer = normalizer_update(critic_normalizer, traj.critic_obs)
+            n_last = normalize_obs(normalizer, last_obs)
+            n_last_c = normalize_obs(critic_normalizer, last_cobs)
+        else:
+            n_last, n_last_c = last_obs, last_cobs
+        _, _, last_value = self._apply(state.update.params, n_last, n_last_c)
+
+        advantages, returns = compute_gae(
+            traj.reward, traj.value, traj.done, traj.time_out, last_value,
+            self.alg_cfg.gamma, self.alg_cfg.lam,
+        )
+
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+        key, k_up = jax.random.split(key)
+        update, metrics = ppo_update(
+            self._apply,
+            state.update,
+            self.optimizer,
+            flat,
+            advantages.reshape(-1),
+            returns.reshape(-1),
+            self.alg_cfg,
+            k_up,
+        )
+        metrics = dict(metrics)
+        metrics["mean_reward_per_step"] = jnp.mean(raw_rewards)
+        # scan-stacked env logs: average over the rollout
+        for k, v in logs.items():
+            metrics[k] = jnp.mean(v)
+        new_state = TrainState(
+            update=update,
+            env_state=env_state,
+            last_obs=last_obs,
+            last_critic_obs=last_cobs,
+            normalizer=normalizer,
+            critic_normalizer=critic_normalizer,
+            key=key,
+            iteration=state.iteration + 1,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def learn(self, num_learning_iterations: int | None = None,
+              init_at_random_ep_len: bool = False):
+        iterations = num_learning_iterations or self.cfg.max_iterations
+        if self.state is None:
+            self.state = self.init_train_state()
+        if self._train_iter_fn is None:
+            self._train_iter_fn = jax.jit(self._train_iteration, donate_argnums=0)
+
+        if self.log_dir is not None:
+            os.makedirs(self.log_dir, exist_ok=True)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(self.log_dir)
+            except ImportError:
+                self.writer = None
+
+        steps_per_iter = self.num_steps * self.num_envs
+        t_start = time.time()
+        for it in range(iterations):
+            t0 = time.time()
+            self.state, metrics = self._train_iter_fn(self.state)
+            if it == 0:
+                jax.block_until_ready(metrics)
+            dt_iter = time.time() - t0
+            if self.writer is not None or it % 10 == 0 or it == iterations - 1:
+                metrics_np = {k: float(v) for k, v in metrics.items()}
+                fps = steps_per_iter / max(dt_iter, 1e-9)
+                if self.writer is not None:
+                    for k, v in metrics_np.items():
+                        self.writer.add_scalar(k.replace("/", "_"), v, it)
+                    self.writer.add_scalar("Perf/fps", fps, it)
+                if it % 10 == 0 or it == iterations - 1:
+                    print(
+                        f"it {it:4d} | reward/step "
+                        f"{metrics_np.get('mean_reward_per_step', 0):8.4f} | "
+                        f"ep_len {metrics_np.get('Episode_Length', 0):7.1f} | "
+                        f"fps {fps:,.0f}",
+                        flush=True,
+                    )
+            if self.log_dir and self.cfg.save_interval and (
+                it % self.cfg.save_interval == 0 or it == iterations - 1
+            ):
+                self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+        total = time.time() - t_start
+        print(
+            f"training done: {iterations} iters, "
+            f"{iterations * steps_per_iter / total:,.0f} env-steps/s", flush=True,
+        )
+        return self.state
+
+    # ------------------------------------------------------------------
+    def save(self, path: str, infos=None):
+        """Orbax-free checkpoint: msgpack via flax.serialization."""
+        from flax import serialization
+
+        payload = {
+            "params": self.state.update.params,
+            "normalizer": self.state.normalizer._asdict(),
+            "critic_normalizer": self.state.critic_normalizer._asdict(),
+            "iteration": int(self.state.iteration),
+        }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(jax.device_get(payload)))
+
+    def load(self, path: str, load_optimizer: bool = True):
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        if self.state is None:
+            self.state = self.init_train_state()
+        self.state = self.state._replace(
+            update=self.state.update._replace(params=payload["params"]),
+            normalizer=NormalizerState(**payload["normalizer"]),
+            critic_normalizer=NormalizerState(**payload["critic_normalizer"]),
+        )
+        return payload.get("iteration", 0)
+
+    def get_inference_policy(self, device=None):
+        params = self.state.update.params
+        norm = self.state.normalizer
+        use_norm = self.cfg.empirical_normalization
+
+        @jax.jit
+        def policy(obs):
+            n_obs = normalize_obs(norm, obs) if use_norm else obs
+            mean, _, _ = self.net.apply(params, n_obs, n_obs)
+            return mean
+
+        return policy

@@ -1,0 +1,14 @@
+"""Terrains (reference ``isaaclab/terrains/``, SURVEY.md §2.7)."""
+
+from .height_field_terrains import (  # noqa: F401
+    HfDiscreteObstaclesTerrainCfg,
+    HfFlatTerrainCfg,
+    HfPyramidSlopedTerrainCfg,
+    HfPyramidStairsTerrainCfg,
+    HfRandomUniformTerrainCfg,
+    HfSteppingStonesTerrainCfg,
+    HfWaveTerrainCfg,
+    SubTerrainCfg,
+)
+from .terrain_generator import TerrainGenerator, TerrainGeneratorCfg  # noqa: F401
+from .terrain_importer import TerrainImporter, TerrainImporterCfg  # noqa: F401

@@ -1,0 +1,93 @@
+"""Terrain importer (reference ``terrains/terrain_importer.py``).
+
+Owns the device-resident height field + per-env terrain-cell assignment.
+TPU twist (see scene module docstring): robots stay near the world origin —
+``env_offsets`` shift the *terrain queries* per env instead of spawning robots
+across a giant shared stage, keeping fp32 coordinates small. Curriculum moves
+an env between difficulty rows by changing its offset (reference
+``terrain_levels_vel`` curriculum semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import MISSING
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics.collision import HeightField
+from ..utils.configclass import configclass
+from .terrain_generator import TerrainGenerator, TerrainGeneratorCfg
+
+
+@configclass
+class TerrainImporterCfg:
+    """Reference ``TerrainImporterCfg``."""
+
+    terrain_type: str = "plane"  # "plane" | "generator"
+    terrain_generator: TerrainGeneratorCfg = None
+    max_init_terrain_level: int = None
+    env_spacing: float = 2.0
+    physics_material: object = None
+    visual_material: object = None
+    debug_vis: bool = False
+
+
+class TerrainImporter:
+    def __init__(self, cfg: TerrainImporterCfg, num_envs: int):
+        self.cfg = cfg
+        self.num_envs = num_envs
+
+        if cfg.terrain_type == "plane" or cfg.terrain_generator is None:
+            self.height_field = None
+            self.generator = None
+            self.env_offsets = jnp.zeros((num_envs, 3))
+            self.env_origins = jnp.zeros((num_envs, 3))
+            self.terrain_levels = jnp.zeros(num_envs, dtype=jnp.int32)
+            self.terrain_types = jnp.zeros(num_envs, dtype=jnp.int32)
+            self.max_terrain_level = 1
+            return
+
+        gen = TerrainGenerator(cfg.terrain_generator)
+        self.generator = gen
+        self.height_field = HeightField(
+            heights=jnp.asarray(gen.heights),
+            horizontal_scale=float(cfg.terrain_generator.horizontal_scale),
+            origin=jnp.zeros(2),
+        )
+        self._cell_origins = jnp.asarray(gen.origins)  # (R, C, 3)
+        self.max_terrain_level = gen.num_rows
+        # initial assignment: random level up to max_init (reference
+        # terrain_importer env origin assignment)
+        rng = np.random.default_rng(cfg.terrain_generator.seed or 0)
+        max_lvl = (
+            cfg.max_init_terrain_level
+            if cfg.max_init_terrain_level is not None
+            else gen.num_rows
+        )
+        levels = rng.integers(0, max(max_lvl, 1), size=num_envs)
+        types = np.arange(num_envs) % gen.num_cols
+        self.terrain_levels = jnp.asarray(levels, dtype=jnp.int32)
+        self.terrain_types = jnp.asarray(types, dtype=jnp.int32)
+        self.env_offsets = self._offsets_for(self.terrain_levels, self.terrain_types)
+        self.env_origins = jnp.zeros((num_envs, 3))
+
+    # ------------------------------------------------------------------
+    def _offsets_for(self, levels, types):
+        return self._cell_origins[levels, types]
+
+    def update_env_levels(self, levels, types=None):
+        """Curriculum hook: returns new (E, 3) terrain offsets for the given
+        per-env difficulty levels. The caller stores them in env state."""
+        types = types if types is not None else self.terrain_types
+        levels = jnp.clip(levels, 0, self.max_terrain_level - 1)
+        return self._offsets_for(levels.astype(jnp.int32), types)
+
+    def sample_height(self, xy_local, env_offset):
+        """Terrain height under env-local xy (env's cell offset applied)."""
+        if self.height_field is None:
+            return jnp.zeros(xy_local.shape[:-1])
+        return (
+            self.height_field.sample(xy_local + env_offset[..., :2])
+            - env_offset[..., 2]
+        )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
+import types
 from dataclasses import MISSING, Field, dataclass, field
 from typing import Any, Callable
 
@@ -58,10 +59,22 @@ def configclass(cls=None, **kwargs):
     """
 
     def wrap(cls):
-        # Convert bare class attributes w/ mutable defaults to default_factory
-        # fields so dataclass doesn't reject them, and nested cfg instances get
-        # fresh copies per parent-instance.
-        annotations = cls.__dict__.get("__annotations__", {})
+        # Inject annotations for unannotated value attributes (reference
+        # configclass.py _add_annotation_types): `x = SomeCfg(...)` without a
+        # type hint must still become a dataclass field.
+        annotations = dict(cls.__dict__.get("__annotations__", {}))
+        inherited = set()
+        for base in cls.__mro__[1:]:
+            inherited.update(getattr(base, "__annotations__", {}).keys())
+        for key, value in list(cls.__dict__.items()):
+            if key.startswith("_") or key in annotations or key in inherited:
+                continue
+            if isinstance(value, (types.FunctionType, property, classmethod, staticmethod, type)):
+                continue
+            if callable(value) and not is_configclass(value):
+                continue
+            annotations[key] = type(value)
+        cls.__annotations__ = annotations
         for name in annotations:
             if name.startswith("__"):
                 continue
