@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark driver entry: prints ONE JSON line with the headline metric.
+
+Mirrors the reference's benchmark_non_rl.py headline (BASELINE.md row 1):
+Isaac-Cartpole 4096 envs pure env-stepping FPS on one chip, compared against
+the reference's 1x RTX 4090 number (1.10M steps/s).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_CARTPOLE_STEP_FPS = 1_100_000.0  # performance_benchmarks.rst:57
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from isaaclab_tpu.envs import ManagerBasedRLEnv
+    from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_env_cfg import (
+        CartpoleEnvCfg,
+    )
+
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    cfg = CartpoleEnvCfg()
+    cfg.scene.num_envs = num_envs
+    env = ManagerBasedRLEnv(cfg)
+
+    state = env.init_state()
+    action = jnp.zeros((num_envs, env.action_manager.total_action_dim))
+
+    steps_per_call = 64
+
+    @jax.jit
+    def run_chunk(s):
+        def body(carry, _):
+            s2, _out = env.step_state(carry, action)
+            return s2, None
+
+        s, _ = jax.lax.scan(body, s, None, length=steps_per_call)
+        return s
+
+    # warmup/compile
+    state = run_chunk(state)
+    jax.block_until_ready(state.scene.phys.q)
+
+    n_calls = 8
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state = run_chunk(state)
+    jax.block_until_ready(state.scene.phys.q)
+    dt = time.perf_counter() - t0
+
+    env_steps = n_calls * steps_per_call * num_envs
+    fps = env_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "cartpole_env_step_fps_4096envs_1chip",
+                "value": round(fps),
+                "unit": "env-steps/s",
+                "vs_baseline": round(fps / BASELINE_CARTPOLE_STEP_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,8 @@ class OnPolicyRunner:
         # obs dims from the env's manager (policy + optional critic group)
         om = uenv.observation_manager
         self.obs_dim = om.group_obs_dim("policy")[0]
-        self.critic_group = "critic" if "critic" in om.group_names() else "policy"
+        self.separate_critic = "critic" in om.group_names()
+        self.critic_group = "critic" if self.separate_critic else "policy"
         self.critic_obs_dim = om.group_obs_dim(self.critic_group)[0]
         self.num_actions = uenv.action_manager.total_action_dim
 
@@ -112,7 +113,9 @@ class OnPolicyRunner:
         )
         env_state = env_state._replace(obs=obs_state)
         obs = obs_dict["policy"]
-        critic_obs = obs_dict.get(self.critic_group, obs)
+        # None when the critic shares the policy obs — avoids aliased buffers
+        # under donation (same array twice in the donated state pytree)
+        critic_obs = obs_dict["critic"] if self.separate_critic else None
         params = self.net.init(
             k_net, jnp.zeros((1, self.obs_dim)), jnp.zeros((1, self.critic_obs_dim))
         )
@@ -140,12 +143,13 @@ class OnPolicyRunner:
 
         def step(carry, _):
             env_state, obs, critic_obs, key = carry
+            cobs = critic_obs if self.separate_critic else obs
             key, k_act = jax.random.split(key)
             n_obs = normalize_obs(state.normalizer, obs) if use_norm else obs
             n_cobs = (
-                normalize_obs(state.critic_normalizer, critic_obs)
+                normalize_obs(state.critic_normalizer, cobs)
                 if use_norm
-                else critic_obs
+                else cobs
             )
             mean, log_std, value = self._apply(
                 state.update.params, n_obs, n_cobs
@@ -158,7 +162,7 @@ class OnPolicyRunner:
                 uenv.step_state(env_state, action)
             )
             next_obs = next_obs_d["policy"]
-            next_cobs = next_obs_d.get(self.critic_group, next_obs)
+            next_cobs = next_obs_d["critic"] if self.separate_critic else None
             done = terminated | time_outs
             # rsl-rl: bootstrap value through time-outs
             reward_b = reward + self.alg_cfg.gamma * value * time_outs.astype(
@@ -194,13 +198,17 @@ class OnPolicyRunner:
         use_norm = self.cfg.empirical_normalization
         normalizer = state.normalizer
         critic_normalizer = state.critic_normalizer
+        last_c = last_cobs if self.separate_critic else last_obs
         if use_norm:
             normalizer = normalizer_update(normalizer, traj.obs)
-            critic_normalizer = normalizer_update(critic_normalizer, traj.critic_obs)
+            if self.separate_critic:
+                critic_normalizer = normalizer_update(
+                    critic_normalizer, traj.critic_obs
+                )
             n_last = normalize_obs(normalizer, last_obs)
-            n_last_c = normalize_obs(critic_normalizer, last_cobs)
+            n_last_c = normalize_obs(critic_normalizer, last_c)
         else:
-            n_last, n_last_c = last_obs, last_cobs
+            n_last, n_last_c = last_obs, last_c
         _, _, last_value = self._apply(state.update.params, n_last, n_last_c)
 
         advantages, returns = compute_gae(

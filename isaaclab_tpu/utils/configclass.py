@@ -63,17 +63,19 @@ def configclass(cls=None, **kwargs):
         # configclass.py _add_annotation_types): `x = SomeCfg(...)` without a
         # type hint must still become a dataclass field.
         annotations = dict(cls.__dict__.get("__annotations__", {}))
-        inherited = set()
-        for base in cls.__mro__[1:]:
-            inherited.update(getattr(base, "__annotations__", {}).keys())
+        inherited = {}
+        for base in reversed(cls.__mro__[1:]):
+            inherited.update(getattr(base, "__annotations__", {}))
         for key, value in list(cls.__dict__.items()):
-            if key.startswith("_") or key in annotations or key in inherited:
+            if key.startswith("_") or key in annotations:
                 continue
             if isinstance(value, (types.FunctionType, property, classmethod, staticmethod, type)):
                 continue
             if callable(value) and not is_configclass(value):
                 continue
-            annotations[key] = type(value)
+            # unannotated subclass overrides of inherited fields must be
+            # re-annotated so the dataclass picks up the NEW default
+            annotations[key] = inherited.get(key, type(value))
         cls.__annotations__ = annotations
         for name in annotations:
             if name.startswith("__"):

@@ -34,7 +34,6 @@ try:
     from jax._src import xla_bridge as _xb
 
     _xb._backend_factories.pop("axon", None)
-    _xb._backend_factories.pop("tpu", None)
     # jax may already be imported (sitecustomize registered the plugin with
     # JAX_PLATFORMS=axon baked into the config) — override the live config.
     _jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,59 @@
+"""PPO learning smoke test: cartpole reward must improve (the reference's
+training smoke, tools/run_train_envs.py analogue, plus learning-curve sanity).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from isaaclab_tpu.envs import ManagerBasedRLEnv
+    from isaaclab_tpu.rl import OnPolicyRunner
+    from isaaclab_tpu.tasks.manager_based.classic.cartpole.agents.rsl_rl_ppo_cfg import (
+        CartpolePPORunnerCfg,
+    )
+    from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_env_cfg import (
+        CartpoleEnvCfg,
+    )
+
+    cfg = CartpoleEnvCfg()
+    cfg.scene.num_envs = 256
+    env = ManagerBasedRLEnv(cfg)
+    agent_cfg = CartpolePPORunnerCfg()
+    runner = OnPolicyRunner(env, agent_cfg, log_dir=None)
+    return env, runner
+
+
+class TestPPOCartpole:
+    def test_train_iteration_runs(self, setup):
+        env, runner = setup
+        state = runner.init_train_state(seed=0)
+        new_state, metrics = jax.jit(runner._train_iteration)(state)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["mean_reward_per_step"]))
+        assert int(new_state.iteration) == 1
+
+    def test_reward_improves(self, setup):
+        """PPO must balance the pole: rewards are weight*term*dt so the ceiling
+        is ~1/60 = 0.0167/step (alive term); random policy sits well below with
+        episode lengths of a few steps. After ~60 iterations at 256 envs the
+        learner reaches >0.012/step and episodes lasting >40 env steps
+        (measured convergence: 0.0165/step, ep_len 130-240 by iteration 80)."""
+        env, runner = setup
+        runner.state = runner.init_train_state(seed=1)
+        fn = jax.jit(runner._train_iteration, donate_argnums=0)
+        first = None
+        last_r, last_len = None, None
+        for i in range(60):
+            runner.state, metrics = fn(runner.state)
+            r = float(metrics["mean_reward_per_step"])
+            if i < 3:
+                first = r if first is None else max(first, r)
+            last_r = r
+            last_len = float(metrics.get("Episode_Length", 0.0))
+        assert last_r > first + 0.005, f"no learning: first={first}, last={last_r}"
+        assert last_r > 0.012, f"reward too low after 60 iters: {last_r}"
+        assert last_len > 40.0, f"episodes too short: {last_len}"
