@@ -91,11 +91,16 @@ class DirectMARLEnv(DirectRLEnv):
         key, _ = jax.random.split(state.key)
         state = state._replace(key=key, prev_actions=state.actions)
         state = self._pre_physics_step(state, flat)
-        for _ in range(int(self.cfg.decimation)):
-            state = self._apply_action(state)
-            state = state._replace(
-                scene=self.scene.step_physics(state.scene, self.physics_dt)
-            )
+
+        def _substep(st, _):
+            st = self._apply_action(st)
+            return st._replace(
+                scene=self.scene.step_physics(st.scene, self.physics_dt)
+            ), None
+
+        state, _ = jax.lax.scan(
+            _substep, state, None, length=int(self.cfg.decimation)
+        )
         state = state._replace(
             scene=self._update_sensors(state.scene),
             episode_length=state.episode_length + 1,

@@ -187,10 +187,13 @@ class DirectRLEnv:
             )
         state = self._pre_physics_step(state, action)
 
-        for _ in range(int(cfg.decimation)):
-            state = self._apply_action(state)
-            scene_state = self.scene.step_physics(state.scene, self.physics_dt)
-            state = state._replace(scene=scene_state)
+        def _substep(st, _):
+            st = self._apply_action(st)
+            return st._replace(
+                scene=self.scene.step_physics(st.scene, self.physics_dt)
+            ), None
+
+        state, _ = jax.lax.scan(_substep, state, None, length=int(cfg.decimation))
         state = state._replace(scene=self._update_sensors(state.scene))
 
         state = state._replace(

@@ -265,13 +265,18 @@ class ManagerBasedEnv:
         ctx = self.make_context(state)
         scene_state = self.event_manager.apply_startup(ctx, state.scene, k_st)
         state = state._replace(scene=scene_state)
-        # observation state needs a template ctx for shape discovery
+        # subclass hook: populate manager states (commands etc.) that
+        # observation terms may read
+        state = self._init_manager_states(state)
+        # update sensors once so first observations are valid
+        state = state._replace(scene=self._update_sensors(state.scene))
+        # observation state needs a full template ctx for shape discovery
         ctx = self.make_context(state)
         state = state._replace(obs=self.observation_manager.init_state(ctx))
-        # update sensors once so first observations are valid
-        state = state._replace(
-            scene=self._update_sensors(state.scene)
-        )
+        return state
+
+    def _init_manager_states(self, state: EnvState) -> EnvState:
+        """Hook for subclasses to add manager states before obs init."""
         return state
 
     def _update_sensors(self, scene_state: SceneState) -> SceneState:
@@ -300,9 +305,15 @@ class ManagerBasedEnv:
         scene_state, am_state = self.action_manager.process_action(
             ctx, state.scene, state.actions, action
         )
-        for _ in range(int(self.cfg.decimation)):
-            scene_state = self.action_manager.apply_action(ctx, scene_state)
-            scene_state = self.scene.step_physics(scene_state, self.physics_dt)
+        def _substep(ss, _):
+            ss = self.action_manager.apply_action(ctx, ss)
+            return self.scene.step_physics(ss, self.physics_dt), None
+
+        # scan keeps the traced/compiled program size independent of the
+        # decimation factor (the reference's inner loop, manager_based_env.py:398)
+        scene_state, _ = jax.lax.scan(
+            _substep, scene_state, None, length=int(self.cfg.decimation)
+        )
         scene_state = self._update_sensors(scene_state)
         state = state._replace(scene=scene_state, actions=am_state)
         ctx = self.make_context(state)

@@ -66,8 +66,9 @@ class ManagerBasedRLEnv(ManagerBasedEnv):
         )
 
     # ------------------------------------------------------------------
-    def init_state(self, key=None) -> EnvState:
-        state = super().init_state(key)
+    def _init_manager_states(self, state: EnvState) -> EnvState:
+        """Populate RL manager states before observation-dim discovery
+        (observation terms may read commands)."""
         state = state._replace(
             rewards=self.reward_manager.init_state(self.num_envs),
             commands=(
@@ -106,10 +107,15 @@ class ManagerBasedRLEnv(ManagerBasedEnv):
         )
         state = state._replace(actions=am_state)
 
-        # 2. decimated sim loop (:182-196)
-        for _ in range(int(cfg.decimation)):
-            scene_state = self.action_manager.apply_action(ctx, scene_state)
-            scene_state = self.scene.step_physics(scene_state, self.physics_dt)
+        # 2. decimated sim loop (:182-196) as a scan: compile size stays
+        # independent of the decimation factor
+        def _substep(ss, _):
+            ss = self.action_manager.apply_action(ctx, ss)
+            return self.scene.step_physics(ss, self.physics_dt), None
+
+        scene_state, _ = jax.lax.scan(
+            _substep, scene_state, None, length=int(cfg.decimation)
+        )
         scene_state = self._update_sensors(scene_state)
         state = state._replace(scene=scene_state)
 

@@ -37,6 +37,10 @@ class UniformVelocityCommandCfg(CommandTermCfg):
 
     ranges: Ranges = MISSING
 
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = UniformVelocityCommand
+
 
 class UniformVelocityCommand(CommandTerm):
     """SE(2) velocity command (reference velocity_command.py): command is
@@ -106,6 +110,10 @@ class NormalVelocityCommandCfg(UniformVelocityCommandCfg):
 
     ranges: Ranges = MISSING
 
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = NormalVelocityCommand
+
 
 class NormalVelocityCommand(UniformVelocityCommand):
     def sample(self, env, state, key, mask):
@@ -143,6 +151,10 @@ class UniformPoseCommandCfg(CommandTermCfg):
         yaw: tuple = (0.0, 0.0)
 
     ranges: Ranges = MISSING
+
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = UniformPoseCommand
 
 
 class UniformPoseCommand(CommandTerm):
@@ -191,6 +203,10 @@ class UniformPose2dCommandCfg(CommandTermCfg):
 
     ranges: Ranges = MISSING
 
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = UniformPose2dCommand
+
 
 class UniformPose2dCommand(CommandTerm):
     """(x, y, heading) goal command in world frame."""
@@ -219,6 +235,10 @@ class NullCommandCfg(CommandTermCfg):
 
     class_type: type = None
     resampling_time_range: tuple = (1e9, 1e9)
+
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = NullCommand
 
 
 class NullCommand(CommandTerm):

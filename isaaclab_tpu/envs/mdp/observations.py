@@ -139,3 +139,39 @@ def generated_commands(env, command_name: str):
 
 def velocity_commands(env, command_name: str = "base_velocity"):
     return env.command_manager.get_command(command_name)
+
+
+# -- classic-locomotion observations (reference classic/humanoid/mdp/observations.py) --
+
+
+def base_yaw_roll(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """(yaw, roll) of the base (reference humanoid mdp)."""
+    quat = env.scene[asset_cfg.name].data.root_quat_w
+    roll, _, yaw = math_utils.euler_xyz_from_quat(quat)
+    return jnp.stack([yaw, roll], axis=-1)
+
+
+def base_up_proj(env, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """Projection of the base up-vector on world z."""
+    g = env.scene[asset_cfg.name].data.projected_gravity_b
+    return -g[:, 2:3]
+
+
+def base_heading_proj(env, target_pos: tuple, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """Alignment of base forward axis with the to-target direction."""
+    data = env.scene[asset_cfg.name].data
+    to_target = jnp.asarray(target_pos)[None, :2] - data.root_pos_w[:, :2]
+    to_target = to_target / jnp.maximum(
+        jnp.linalg.norm(to_target, axis=-1, keepdims=True), 1e-9
+    )
+    fwd = math_utils.quat_apply(data.root_quat_w, jnp.array([1.0, 0.0, 0.0]))
+    return jnp.sum(fwd[:, :2] * to_target, axis=-1, keepdims=True)
+
+
+def base_angle_to_target(env, target_pos: tuple, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """Yaw error toward a world target."""
+    data = env.scene[asset_cfg.name].data
+    to_target = jnp.asarray(target_pos)[None, :2] - data.root_pos_w[:, :2]
+    target_yaw = jnp.arctan2(to_target[:, 1], to_target[:, 0])
+    _, _, yaw = math_utils.euler_xyz_from_quat(data.root_quat_w)
+    return math_utils.wrap_to_pi(target_yaw - yaw)[:, None]

@@ -218,3 +218,69 @@ def feet_slide(env, sensor_cfg: SceneEntityCfg, asset_cfg: SceneEntityCfg = _DEF
     return jnp.sum(
         jnp.linalg.norm(vel[..., :2], axis=-1) * contacts.astype(jnp.float32), axis=1
     )
+
+
+# -- classic-locomotion rewards (reference classic/humanoid/mdp/rewards.py) --
+
+
+def progress_reward(env, target_pos: tuple, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """Velocity toward a (distant) world target — potential-based progress."""
+    data = env.scene[asset_cfg.name].data
+    to_target = jnp.asarray(target_pos)[None, :2] - data.root_pos_w[:, :2]
+    dir_xy = to_target / jnp.maximum(
+        jnp.linalg.norm(to_target, axis=-1, keepdims=True), 1e-9
+    )
+    return jnp.sum(data.root_lin_vel_w[:, :2] * dir_xy, axis=-1)
+
+
+def upright_posture_bonus(env, threshold: float, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """1 when the up-projection exceeds the threshold."""
+    g = env.scene[asset_cfg.name].data.projected_gravity_b
+    return (-g[:, 2] > threshold).astype(jnp.float32)
+
+
+def move_to_target_bonus(env, threshold: float, target_pos: tuple,
+                         asset_cfg: SceneEntityCfg = _DEFAULT):
+    """1 when heading-projection toward target exceeds the threshold."""
+    data = env.scene[asset_cfg.name].data
+    to_target = jnp.asarray(target_pos)[None, :2] - data.root_pos_w[:, :2]
+    to_target = to_target / jnp.maximum(
+        jnp.linalg.norm(to_target, axis=-1, keepdims=True), 1e-9
+    )
+    fwd = math_utils.quat_apply(data.root_quat_w, jnp.array([1.0, 0.0, 0.0]))
+    proj = jnp.sum(fwd[:, :2] * to_target, axis=-1)
+    return jnp.where(proj > threshold, 1.0, proj / threshold)
+
+
+def power_consumption(env, gear_ratio: dict, asset_cfg: SceneEntityCfg = _DEFAULT):
+    """|tau . qd| with per-joint gear scaling (reference humanoid mdp)."""
+    from ...utils import string as string_utils
+
+    data = env.scene[asset_cfg.name].data
+    entity = env.scene[asset_cfg.name]
+    gears = jnp.ones(entity.num_joints)
+    idx, _, vals = string_utils.resolve_matching_names_values(
+        gear_ratio, entity.joint_names
+    )
+    gears = gears.at[jnp.asarray(idx)].set(jnp.asarray(vals))
+    return jnp.sum(jnp.abs(env.action_manager.action * data.joint_vel * gears), axis=-1)
+
+
+def joint_pos_limits_penalty_ratio(env, threshold: float, gear_ratio: dict,
+                                   asset_cfg: SceneEntityCfg = _DEFAULT):
+    """Penalty as joints approach their limits (reference humanoid mdp)."""
+    from ...utils import string as string_utils
+
+    data = env.scene[asset_cfg.name].data
+    entity = env.scene[asset_cfg.name]
+    lim = data.soft_joint_pos_limits
+    ratio = jnp.abs(
+        math_utils.scale_transform(data.joint_pos, lim[..., 0], lim[..., 1])
+    )
+    gears = jnp.ones(entity.num_joints)
+    idx, _, vals = string_utils.resolve_matching_names_values(
+        gear_ratio, entity.joint_names
+    )
+    gears = gears.at[jnp.asarray(idx)].set(jnp.asarray(vals))
+    out_of = (ratio > threshold).astype(jnp.float32)
+    return jnp.sum(out_of * (ratio - threshold) * gears, axis=-1)

@@ -21,11 +21,15 @@ from .sensor_base import SensorBase, SensorBaseCfg, parse_entity_from_prim_path
 class ContactSensorCfg(SensorBaseCfg):
     """Reference ``ContactSensorCfg``."""
 
-    class_type: type = None  # set below
+    class_type: type = None
     track_air_time: bool = False
     track_pose: bool = False
     force_threshold: float = 1.0
     filter_prim_paths_expr: list = []
+
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = ContactSensor
 
 
 class ContactSensorState(NamedTuple):

@@ -38,6 +38,10 @@ class FrameTransformerCfg(SensorBaseCfg):
     source_frame_offset: OffsetCfg = OffsetCfg()
     target_frames: list = MISSING
 
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = FrameTransformer
+
 
 class FrameTransformerState(NamedTuple):
     dummy: jnp.ndarray  # stateless sensor; pytree placeholder

@@ -27,6 +27,10 @@ class ImuCfg(SensorBaseCfg):
     offset: ImuOffsetCfg = ImuOffsetCfg()
     gravity_bias: tuple = (0.0, 0.0, 9.81)
 
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = Imu
+
 
 class ImuState(NamedTuple):
     pos_w: jnp.ndarray  # (E, 3)

@@ -39,6 +39,10 @@ class RayCasterCfg(SensorBaseCfg):
     drift_range: tuple = (0.0, 0.0)
     offset: RayCasterOffsetCfg = RayCasterOffsetCfg()
 
+    def __post_init__(self):
+        if self.class_type is None:
+            self.class_type = RayCaster
+
 
 class RayCasterState(NamedTuple):
     ray_hits_w: jnp.ndarray  # (E, N, 3)

@@ -21,6 +21,7 @@ class RayCasterCameraCfg(RayCasterCfg):
     data_types: list = ["distance_to_image_plane"]
 
     def __post_init__(self):
+        self.class_type = RayCasterCamera
         if self.pattern_cfg is None:
             self.pattern_cfg = PinholeCameraPatternCfg()
 

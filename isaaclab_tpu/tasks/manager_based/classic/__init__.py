@@ -1,2 +1,2 @@
 """Classic control tasks (reference manager_based/classic/)."""
-from . import cartpole  # noqa: F401
+from . import ant, cartpole, humanoid  # noqa: F401

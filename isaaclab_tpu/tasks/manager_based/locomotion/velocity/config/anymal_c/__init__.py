@@ -1,0 +1,28 @@
+"""ANYmal-C velocity tasks (reference
+``velocity/config/anymal_c/__init__.py`` registrations)."""
+
+import gymnasium as gym
+
+from . import agents
+from .flat_env_cfg import AnymalCFlatEnvCfg
+from .rough_env_cfg import AnymalCRoughEnvCfg
+
+gym.register(
+    id="Isaac-Velocity-Flat-Anymal-C-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": AnymalCFlatEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:AnymalCFlatPPORunnerCfg",
+    },
+)
+
+gym.register(
+    id="Isaac-Velocity-Rough-Anymal-C-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": AnymalCRoughEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:AnymalCRoughPPORunnerCfg",
+    },
+)

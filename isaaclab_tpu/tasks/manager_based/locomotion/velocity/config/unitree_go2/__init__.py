@@ -1,0 +1,25 @@
+"""Unitree Go2 velocity tasks (reference velocity/config/go2 registrations)."""
+
+import gymnasium as gym
+
+from . import agents
+from .env_cfgs import Go2FlatEnvCfg, Go2RoughEnvCfg
+
+gym.register(
+    id="Isaac-Velocity-Flat-Unitree-Go2-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": Go2FlatEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:Go2FlatPPORunnerCfg",
+    },
+)
+gym.register(
+    id="Isaac-Velocity-Rough-Unitree-Go2-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": Go2RoughEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:Go2RoughPPORunnerCfg",
+    },
+)

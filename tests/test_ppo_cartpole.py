@@ -45,15 +45,18 @@ class TestPPOCartpole:
         env, runner = setup
         runner.state = runner.init_train_state(seed=1)
         fn = jax.jit(runner._train_iteration, donate_argnums=0)
-        first = None
+        first_len = None
         last_r, last_len = None, None
         for i in range(60):
             runner.state, metrics = fn(runner.state)
-            r = float(metrics["mean_reward_per_step"])
-            if i < 3:
-                first = r if first is None else max(first, r)
-            last_r = r
-            last_len = float(metrics.get("Episode_Length", 0.0))
-        assert last_r > first + 0.005, f"no learning: first={first}, last={last_r}"
+            ep_len = float(metrics.get("Episode_Length", 0.0))
+            if i == 2:
+                first_len = ep_len
+            last_r = float(metrics["mean_reward_per_step"])
+            last_len = ep_len
+        # note: per-step reward starts near the ceiling (episodes begin
+        # upright), so episode LENGTH is the reliable learning signal
+        assert last_len > max(first_len * 3, 40.0), (
+            f"no learning: ep_len {first_len} -> {last_len}"
+        )
         assert last_r > 0.012, f"reward too low after 60 iters: {last_r}"
-        assert last_len > 40.0, f"episodes too short: {last_len}"
