@@ -1,0 +1,14 @@
+"""Task-space controllers (reference ``isaaclab/controllers/``)."""
+
+from .differential_ik import (  # noqa: F401
+    DifferentialIKController,
+    DifferentialIKControllerCfg,
+)
+from .joint_impedance import (  # noqa: F401
+    JointImpedanceController,
+    JointImpedanceControllerCfg,
+)
+from .operational_space import (  # noqa: F401
+    OperationalSpaceController,
+    OperationalSpaceControllerCfg,
+)
