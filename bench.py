@@ -30,7 +30,8 @@ def main():
     cfg.scene.num_envs = num_envs
     env = ManagerBasedRLEnv(cfg)
 
-    state = env.init_state()
+    # jit the init: eager init is minutes of tiny dispatches over the tunnel
+    state = jax.jit(env.init_state)(jax.random.PRNGKey(0))
     action = jnp.zeros((num_envs, env.action_manager.total_action_dim))
 
     steps_per_call = 64

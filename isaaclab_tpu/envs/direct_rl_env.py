@@ -248,8 +248,12 @@ class DirectRLEnv:
     def reset(self, seed: int | None = None, options: dict | None = None):
         if seed is not None:
             self._seed = seed
-        self._state = self.init_state()
-        obs = jax.jit(self._get_observations)(self._state)
+
+        def _reset_impl(key):
+            state = self.init_state(key)
+            return state, self._get_observations(state)
+
+        self._state, obs = jax.jit(_reset_impl)(jax.random.PRNGKey(self._seed))
         return obs, {}
 
     def step(self, action):

@@ -289,14 +289,21 @@ class ManagerBasedEnv:
     # ------------------------------------------------------------------
     # Host-facing gym-style API (reference manager_based_env.py:398-412)
     # ------------------------------------------------------------------
+    def _reset_impl(self, key):
+        state = self.init_state(key)
+        ctx = self.make_context(state)
+        key, sub = jax.random.split(state.key)
+        obs, obs_state = self.observation_manager.compute(ctx, state.obs, sub)
+        return state._replace(obs=obs_state, key=key), obs
+
     def reset(self, seed: int | None = None):
         if seed is not None:
             self._seed = seed
-        self._state = self.init_state()
-        ctx = self.make_context(self._state)
-        key, sub = jax.random.split(self._state.key)
-        obs, obs_state = self.observation_manager.compute(ctx, self._state.obs, sub)
-        self._state = self._state._replace(obs=obs_state, key=key)
+        # jit the whole init path: eager init is hundreds of tiny dispatches
+        # (minutes over a remote-TPU tunnel)
+        if self._jit_reset is None:
+            self._jit_reset = jax.jit(self._reset_impl)
+        self._state, obs = self._jit_reset(jax.random.PRNGKey(self._seed))
         return obs, {}
 
     def step_state(self, state: EnvState, action) -> tuple[EnvState, dict]:

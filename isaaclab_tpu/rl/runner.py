@@ -102,7 +102,9 @@ class OnPolicyRunner:
 
     def init_train_state(self, seed: int | None = None) -> TrainState:
         seed = seed if seed is not None else self.cfg.seed
-        key = jax.random.PRNGKey(seed)
+        return self._init_train_state_from_key(jax.random.PRNGKey(seed))
+
+    def _init_train_state_from_key(self, key) -> TrainState:
         k_net, k_env, key = jax.random.split(key, 3)
         uenv = self.env.unwrapped
         env_state = uenv.init_state(k_env)
@@ -250,7 +252,10 @@ class OnPolicyRunner:
               init_at_random_ep_len: bool = False):
         iterations = num_learning_iterations or self.cfg.max_iterations
         if self.state is None:
-            self.state = self.init_train_state()
+            # jitted init: eager init is minutes of tiny dispatches on TPU
+            self.state = jax.jit(
+                lambda key: self._init_train_state_from_key(key)
+            )(jax.random.PRNGKey(self.cfg.seed))
         if self._train_iter_fn is None:
             self._train_iter_fn = jax.jit(self._train_iteration, donate_argnums=0)
 
