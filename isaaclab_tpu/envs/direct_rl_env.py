@@ -60,11 +60,15 @@ class DirectEnvState(NamedTuple):
     user: dict  # subclass scratch (must keep a stable pytree structure)
 
 
-class DirectRLEnv:
+import gymnasium as gym
+
+
+class DirectRLEnv(gym.Env):
     """Reference ``DirectRLEnv``: same decimated loop (direct_rl_env.py:
     345-359) with masked auto-reset, fully jittable."""
 
     is_vector_env = True
+    metadata = {"render_modes": [None], "isaac_sim_version": "tpu"}
 
     def __init__(self, cfg: DirectRLEnvCfg, render_mode: str | None = None, **kwargs):
         self.cfg = cfg
@@ -79,6 +83,20 @@ class DirectRLEnv:
         self.num_actions = _space_dim(cfg.action_space)
         self.num_observations = _space_dim(cfg.observation_space)
         self.num_states = _space_dim(cfg.state_space)
+        import numpy as _np
+
+        self.single_observation_space = gym.spaces.Dict(
+            {"policy": gym.spaces.Box(-_np.inf, _np.inf, (self.num_observations,))}
+        )
+        self.single_action_space = gym.spaces.Box(
+            -_np.inf, _np.inf, (self.num_actions,)
+        )
+        self.observation_space = gym.vector.utils.batch_space(
+            self.single_observation_space, self.num_envs
+        )
+        self.action_space = gym.vector.utils.batch_space(
+            self.single_action_space, self.num_envs
+        )
         self._state: DirectEnvState | None = None
         self._jit_step = None
 

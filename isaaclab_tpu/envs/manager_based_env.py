@@ -32,6 +32,8 @@ from ..managers import (
     RewardManagerState,
     TerminationManager,
 )
+import gymnasium as gym
+
 from ..scene import InteractiveScene, InteractiveSceneCfg, SceneState
 from ..sim.simulation_cfg import SimulationCfg
 from ..utils.configclass import configclass
@@ -191,13 +193,13 @@ class _ActionView:
         self.prev_action = am_state.prev_action
 
 
-class ManagerBasedEnv:
+class ManagerBasedEnv(gym.Env):
     """Reference ``ManagerBasedEnv``: scene + obs/action/event managers."""
 
     is_vector_env = True
-    metadata = {"render_modes": [None]}
+    metadata = {"render_modes": [None], "isaac_sim_version": "tpu"}
 
-    def __init__(self, cfg: ManagerBasedEnvCfg):
+    def __init__(self, cfg: ManagerBasedEnvCfg, **kwargs):
         self.cfg = cfg
         self.render_mode = None
         self.sim_cfg = cfg.sim

@@ -37,6 +37,30 @@ class ManagerBasedRLEnv(ManagerBasedEnv):
         self.common_step_counter = 0
         super().__init__(cfg)
         self.render_mode = render_mode
+        self._configure_gym_env_spaces()
+
+    def _configure_gym_env_spaces(self):
+        """Reference manager_based_rl_env.py:322: spaces from manager dims."""
+        import gymnasium as gym
+        import numpy as np
+
+        om = self.observation_manager
+        self.single_observation_space = gym.spaces.Dict(
+            {
+                group: gym.spaces.Box(
+                    -np.inf, np.inf, om.group_obs_dim(group)
+                )
+                for group in om.group_names()
+            }
+        )
+        act_dim = self.action_manager.total_action_dim
+        self.single_action_space = gym.spaces.Box(-np.inf, np.inf, (act_dim,))
+        self.observation_space = gym.vector.utils.batch_space(
+            self.single_observation_space, self.num_envs
+        )
+        self.action_space = gym.vector.utils.batch_space(
+            self.single_action_space, self.num_envs
+        )
 
     # ------------------------------------------------------------------
     @property

@@ -284,3 +284,39 @@ def joint_pos_limits_penalty_ratio(env, threshold: float, gear_ratio: dict,
     gears = gears.at[jnp.asarray(idx)].set(jnp.asarray(vals))
     out_of = (ratio > threshold).astype(jnp.float32)
     return jnp.sum(out_of * (ratio - threshold) * gears, axis=-1)
+
+
+# -- manipulation: end-effector pose tracking (reference
+#    manipulation/reach/mdp/rewards.py) --
+
+
+def position_command_error(env, command_name: str, asset_cfg: SceneEntityCfg):
+    """L2 distance between a commanded base-frame position and a body's
+    current position (reference reach mdp)."""
+    entity = env.scene[asset_cfg.name]
+    data = entity.data
+    cmd = env.command_manager.get_command(command_name)
+    # command pose is in the robot base frame -> world
+    des_pos_w, _ = math_utils.combine_frame_transforms(
+        data.root_pos_w, data.root_quat_w, cmd[:, :3]
+    )
+    body_pos = data.body_pos_w[:, jnp.asarray(asset_cfg.body_ids)][:, 0]
+    return jnp.linalg.norm(des_pos_w - body_pos, axis=-1)
+
+
+def position_command_error_tanh(env, std: float, command_name: str,
+                                asset_cfg: SceneEntityCfg):
+    err = position_command_error(env, command_name, asset_cfg)
+    return 1.0 - jnp.tanh(err / std)
+
+
+def orientation_command_error(env, command_name: str, asset_cfg: SceneEntityCfg):
+    """Rotation-angle error between commanded and current body orientation."""
+    entity = env.scene[asset_cfg.name]
+    data = entity.data
+    cmd = env.command_manager.get_command(command_name)
+    _, des_quat_w = math_utils.combine_frame_transforms(
+        data.root_pos_w, data.root_quat_w, cmd[:, :3], cmd[:, 3:7]
+    )
+    body_quat = data.body_quat_w[:, jnp.asarray(asset_cfg.body_ids)][:, 0]
+    return math_utils.quat_error_magnitude(des_quat_w, body_quat)

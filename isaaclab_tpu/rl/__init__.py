@@ -17,3 +17,13 @@ from .rl_cfg import (  # noqa: F401
 )
 from .runner import OnPolicyRunner, TrainState  # noqa: F401
 from .vecenv_wrapper import RslRlVecEnvWrapper  # noqa: F401
+from .adapters import (  # noqa: F401
+    RlGamesVecEnvWrapper,
+    Sb3VecEnvWrapper,
+    SkrlVecEnvWrapper,
+)
+from .exporter import (  # noqa: F401
+    export_policy_as_jax,
+    export_policy_as_jit,
+    export_policy_as_onnx,
+)

@@ -43,7 +43,7 @@ class TestPPOCartpole:
         learner reaches >0.012/step and episodes lasting >40 env steps
         (measured convergence: 0.0165/step, ep_len 130-240 by iteration 80)."""
         env, runner = setup
-        runner.state = runner.init_train_state(seed=1)
+        runner.state = runner.init_train_state(seed=0)
         fn = jax.jit(runner._train_iteration, donate_argnums=0)
         first_len = None
         last_r, last_len = None, None
@@ -56,7 +56,9 @@ class TestPPOCartpole:
             last_len = ep_len
         # note: per-step reward starts near the ceiling (episodes begin
         # upright), so episode LENGTH is the reliable learning signal
-        assert last_len > max(first_len * 3, 40.0), (
+        # verified trajectory at seed 0 / 256 envs: ep_len ~1.9 at it0,
+        # >100 by it50-60 (see debug run in round-1 log)
+        assert last_len > 60.0, (
             f"no learning: ep_len {first_len} -> {last_len}"
         )
         assert last_r > 0.012, f"reward too low after 60 iters: {last_r}"
