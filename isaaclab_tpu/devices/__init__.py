@@ -1,0 +1,11 @@
+"""Teleoperation devices (reference ``isaaclab/devices/``, SURVEY.md §2.15).
+
+Host-side input devices. The TPU build is headless: the keyboard/spacemouse/
+gamepad backends are replaced by a scriptable :class:`ReplayDevice` (feed
+recorded or programmatic commands) plus a stdin keyboard fallback, keeping the
+``advance() -> command`` contract the teleop scripts consume.
+"""
+
+from .device_base import DeviceBase  # noqa: F401
+from .keyboard import Se2Keyboard, Se3Keyboard  # noqa: F401
+from .replay import ReplayDevice  # noqa: F401

@@ -43,39 +43,79 @@ class SolverCfg(NamedTuple):
     limit_baumgarte: float = 0.2
 
 
+_ANCESTOR_MASK_CACHE: dict = {}
+
+
+def ancestor_mask(model: RobotModel):
+    """(nbody, nv) static 0/1 mask: dof d moves body b."""
+    key = id(model)
+    if key not in _ANCESTOR_MASK_CACHE:
+        import numpy as _np
+
+        from .kinematics import ancestor_dofs
+
+        M = _np.zeros((model.nbody, model.nv), dtype=_np.float32)
+        for b in range(model.nbody):
+            for d in ancestor_dofs(model, b):
+                M[b, d] = 1.0
+        _ANCESTOR_MASK_CACHE[key] = M
+    return _ANCESTOR_MASK_CACHE[key]
+
+
+def point_jacobians_batch(model: RobotModel, kin: Kinematics, points, body_idx):
+    """(ncon, 3, nv) world Jacobians for ``points`` attached to ``body_idx``.
+
+    Fully vectorized: one broadcast cross product over (ncon, nv) instead of
+    per-contact/per-dof Python loops — keeps the traced program small and the
+    work a single fused VPU kernel.
+    """
+    mask = jnp.asarray(ancestor_mask(model))[jnp.asarray(body_idx)]  # (ncon, nv)
+    axis = kin.dof_axis_w  # (nv, 3)
+    anchor = kin.dof_anchor_w
+    is_rot = kin.dof_is_rot[:, None]  # (nv, 1)
+    rel = points[:, None, :] - anchor[None]  # (ncon, nv, 3)
+    rot_cols = jnp.cross(jnp.broadcast_to(axis[None], rel.shape), rel)
+    cols = jnp.where(is_rot[None] > 0.5, rot_cols, axis[None])  # (ncon, nv, 3)
+    cols = cols * mask[:, :, None]
+    return jnp.swapaxes(cols, 1, 2)  # (ncon, 3, nv)
+
+
 def contact_jacobians(model: RobotModel, kin: Kinematics, contacts: Contacts):
     """(ncon*3, nv) stacked [normal, tangent1, tangent2] rows per contact."""
     ncon = contacts.depth.shape[0]
     if ncon == 0:
         return jnp.zeros((0, model.nv))
-    rows = []
-    for c in range(ncon):
-        p = contacts.pos[c]
-        n = contacts.normal[c]
-        J_a = point_jacobian(model, kin, int(contacts.body_a[c]), p)
-        if int(contacts.body_b[c]) >= 0:
-            J_rel = J_a - point_jacobian(model, kin, int(contacts.body_b[c]), p)
-        else:
-            J_rel = J_a
-        t1, t2 = _tangent_basis(n)
-        rows.append(n @ J_rel)
-        rows.append(t1 @ J_rel)
-        rows.append(t2 @ J_rel)
-    return jnp.stack(rows)
+    J = point_jacobians_batch(model, kin, contacts.pos, contacts.body_a)
+    if np.any(contacts.body_b >= 0):
+        J_b = point_jacobians_batch(
+            model, kin, contacts.pos, np.maximum(contacts.body_b, 0)
+        )
+        b_valid = jnp.asarray((contacts.body_b >= 0).astype(np.float32))
+        J = J - J_b * b_valid[:, None, None]
+    n = contacts.normal  # (ncon, 3)
+    t1, t2 = tangent_basis(n)
+    frames = jnp.stack([n, t1, t2], axis=1)  # (ncon, 3, 3)
+    rows = jnp.einsum("cfk,ckv->cfv", frames, J)  # (ncon, 3, nv)
+    return rows.reshape(3 * ncon, -1)
+
+
+def tangent_basis(n):
+    """Two unit tangents orthogonal to ``n``; batched over leading dims."""
+    a = jnp.where(
+        jnp.abs(n[..., 0:1]) < 0.9,
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), n.shape),
+    )
+    t1 = jnp.cross(n, a)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
 
 
 def _tangent_basis(n):
-    """Two unit tangents orthogonal to ``n`` (branch-free pivot choice)."""
-    # pick the world axis least aligned with n
-    a = jnp.where(
-        jnp.abs(n[0]) < 0.9,
-        jnp.array([1.0, 0.0, 0.0]),
-        jnp.array([0.0, 1.0, 0.0]),
-    )
-    t1 = jnp.cross(n, a)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-9)
-    t2 = jnp.cross(n, t1)
-    return t1, t2
+    """Single-normal variant (back-compat)."""
+    t1, t2 = tangent_basis(n[None])
+    return t1[0], t2[0]
 
 
 def limit_rows(model: RobotModel):
@@ -210,13 +250,10 @@ def solve_constraints(
     qd = v_free + MinvJT @ lam
     if ncon:
         imp = lam[: 3 * ncon].reshape(ncon, 3)
-        t1t2 = []
-        force = []
-        for c in range(ncon):
-            n = contacts.normal[c]
-            t1, t2 = _tangent_basis(n)
-            force.append((n * imp[c, 0] + t1 * imp[c, 1] + t2 * imp[c, 2]) / dt)
-        contact_force_w = jnp.stack(force)
+        t1, t2 = tangent_basis(contacts.normal)
+        contact_force_w = (
+            contacts.normal * imp[:, 0:1] + t1 * imp[:, 1:2] + t2 * imp[:, 2:3]
+        ) / dt
     else:
         imp = jnp.zeros((0, 3))
         contact_force_w = jnp.zeros((0, 3))
