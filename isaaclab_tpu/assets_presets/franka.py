@@ -64,7 +64,9 @@ def build_franka_model():
             jnt_name=f"panda_finger_joint{1 if side == 'left' else 2}",
             limits=(0.0, 0.04), effort_limit=200.0, velocity_limit=0.2,
         )
-        b.add_geom(finger, GEOM_BOX, (0.01, 0.01, 0.025), pos=(0, sy * 0.01, 0.04),
+        # capsule fingertips: box-box narrowphase is unsupported, and capsule
+        # pads grip objects more stably anyway
+        b.add_geom(finger, GEOM_CAPSULE, (0.009, 0.02), pos=(0, sy * 0.008, 0.035),
                    friction=2.0, name=f"{side}_fingertip")
     return b.build()
 

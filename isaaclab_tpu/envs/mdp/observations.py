@@ -175,3 +175,17 @@ def base_angle_to_target(env, target_pos: tuple, asset_cfg: SceneEntityCfg = _DE
     target_yaw = jnp.arctan2(to_target[:, 1], to_target[:, 0])
     _, _, yaw = math_utils.euler_xyz_from_quat(data.root_quat_w)
     return math_utils.wrap_to_pi(target_yaw - yaw)[:, None]
+
+
+def object_position_in_robot_root_frame(
+    env,
+    robot_cfg: SceneEntityCfg = _DEFAULT,
+    object_cfg: SceneEntityCfg = SceneEntityCfg("object"),
+):
+    """Object position in the robot base frame (reference lift mdp)."""
+    robot = env.scene[robot_cfg.name].data
+    obj = env.scene[object_cfg.name].data
+    pos_b, _ = math_utils.subtract_frame_transforms(
+        robot.root_pos_w, robot.root_quat_w, obj.root_pos_w
+    )
+    return pos_b

@@ -320,3 +320,38 @@ def orientation_command_error(env, command_name: str, asset_cfg: SceneEntityCfg)
     )
     body_quat = data.body_quat_w[:, jnp.asarray(asset_cfg.body_ids)][:, 0]
     return math_utils.quat_error_magnitude(des_quat_w, body_quat)
+
+
+# -- manipulation: object lift (reference manipulation/lift/mdp/rewards.py) --
+
+
+def object_ee_distance(env, std: float, object_cfg: SceneEntityCfg,
+                       ee_cfg: SceneEntityCfg):
+    """tanh-shaped reach reward: end-effector body to object distance."""
+    obj = env.scene[object_cfg.name].data
+    robot = env.scene[ee_cfg.name].data
+    ee_pos = robot.body_pos_w[:, jnp.asarray(ee_cfg.body_ids)][:, 0]
+    dist = jnp.linalg.norm(obj.root_pos_w - ee_pos, axis=-1)
+    return 1.0 - jnp.tanh(dist / std)
+
+
+def object_is_lifted(env, minimal_height: float, object_cfg: SceneEntityCfg):
+    """1 when the object is above the minimal height."""
+    obj = env.scene[object_cfg.name].data
+    return (obj.root_pos_w[:, 2] > minimal_height).astype(jnp.float32)
+
+
+def object_goal_distance(env, std: float, minimal_height: float,
+                         command_name: str, object_cfg: SceneEntityCfg,
+                         robot_cfg: SceneEntityCfg = _DEFAULT):
+    """tanh goal-tracking reward, gated on the object being lifted
+    (reference lift mdp object_goal_distance)."""
+    obj = env.scene[object_cfg.name].data
+    robot = env.scene[robot_cfg.name].data
+    cmd = env.command_manager.get_command(command_name)
+    des_pos_w, _ = math_utils.combine_frame_transforms(
+        robot.root_pos_w, robot.root_quat_w, cmd[:, :3]
+    )
+    dist = jnp.linalg.norm(des_pos_w - obj.root_pos_w, axis=-1)
+    lifted = obj.root_pos_w[:, 2] > minimal_height
+    return lifted.astype(jnp.float32) * (1.0 - jnp.tanh(dist / std))

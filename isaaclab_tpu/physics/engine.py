@@ -155,7 +155,10 @@ def step(
     qd_arts = articulated_qd(model, state.qd)
 
     # mass matrix with armature + implicit drive damping on the diagonal
-    H = crba(model, kin, mass=params.mass, inertia=params.inertia, com=params.com)
+    # (world-Jacobian formulation: one einsum, MXU-friendly — see crba_world)
+    from .solver import crba_world
+
+    H = crba_world(model, kin, params.mass, params.inertia, params.com)
     if model.nu:
         vi = jnp.asarray(model.dof_v_index)
         # implicit damping: folds kd and passive damping into the inertia so

@@ -80,6 +80,54 @@ def point_jacobians_batch(model: RobotModel, kin: Kinematics, points, body_idx):
     return jnp.swapaxes(cols, 1, 2)  # (ncon, 3, nv)
 
 
+def body_jacobians_batch(model: RobotModel, kin: Kinematics):
+    """(nbody, 6, nv) world-frame spatial Jacobians of every body origin,
+    rows ordered (ang, lin) — one broadcast op over (nbody, nv)."""
+    mask = jnp.asarray(ancestor_mask(model))  # (nb, nv)
+    axis = kin.dof_axis_w  # (nv, 3)
+    anchor = kin.dof_anchor_w
+    is_rot = kin.dof_is_rot[None, :, None]  # (1, nv, 1)
+    p = kin.body_pos_w  # (nb, 3)
+    rel = p[:, None, :] - anchor[None]  # (nb, nv, 3)
+    axis_b = jnp.broadcast_to(axis[None], rel.shape)
+    lin = jnp.where(is_rot > 0.5, jnp.cross(axis_b, rel), axis_b)
+    ang = jnp.where(is_rot > 0.5, axis_b, 0.0)
+    J = jnp.concatenate([ang, lin], axis=-1)  # (nb, nv, 6)
+    J = J * mask[:, :, None]
+    return jnp.swapaxes(J, 1, 2)  # (nb, 6, nv)
+
+
+def crba_world(model: RobotModel, kin: Kinematics, mass, inertia, com):
+    """Joint-space inertia via world-frame body Jacobians:
+    H = sum_b J_b^T I_b^w J_b — one einsum instead of the recursive
+    composite-rigid-body chain walks (same matrix; compiles to a single
+    MXU contraction batched over envs)."""
+    from . import spatial as sp
+
+    J = body_jacobians_batch(model, kin)  # (nb, 6, nv)
+    R = jnp.stack(
+        [
+            _quat_to_mat(kin.body_quat_w[b])
+            for b in range(model.nbody)
+        ]
+    )
+    I_rot = R @ inertia @ jnp.swapaxes(R, -1, -2)  # (nb, 3, 3)
+    c_w = (R @ com[..., None])[..., 0]  # (nb, 3)
+    C = sp.skew(c_w)
+    m = mass[:, None, None]
+    I3 = jnp.broadcast_to(jnp.eye(3), C.shape)
+    top = jnp.concatenate([I_rot + m * (C @ jnp.swapaxes(C, -1, -2)), m * C], axis=-1)
+    bot = jnp.concatenate([m * jnp.swapaxes(C, -1, -2), m * I3], axis=-1)
+    I_w = jnp.concatenate([top, bot], axis=-2)  # (nb, 6, 6)
+    return jnp.einsum("biv,bij,bjw->vw", J, I_w, J)
+
+
+def _quat_to_mat(q):
+    from ..utils import math as mu
+
+    return mu.matrix_from_quat(q)
+
+
 def contact_jacobians(model: RobotModel, kin: Kinematics, contacts: Contacts):
     """(ncon*3, nv) stacked [normal, tangent1, tangent2] rows per contact."""
     ncon = contacts.depth.shape[0]
@@ -169,10 +217,11 @@ def solve_constraints(
     J_l = jnp.asarray(limit_rows(model))  # (2*nu, nv)
     J = jnp.concatenate([J_c, J_l], axis=0) if n_lim else J_c
 
-    # Delassus operator via Cholesky solves: A = J H^-1 J^T
+    # matrix-free Delassus: keep A = J H^-1 J^T implicit. Materializing A is
+    # (nrows x nrows) per env — the dominant HBM traffic at locomotion scale;
+    # two skinny (nrows x nv) matvecs per sweep touch ~3x less memory.
     MinvJT = jax.scipy.linalg.cho_solve((H_chol, True), J.T)  # (nv, nrows)
-    A = J @ MinvJT  # (nrows, nrows)
-    diag = jnp.clip(jnp.diagonal(A), 1e-8, None)
+    diag = jnp.clip(jnp.einsum("rv,vr->r", J, MinvJT), 1e-8, None)
 
     # bias: b = J v_free + baumgarte + restitution (contacts), limit bias
     b = J @ v_free
@@ -224,28 +273,57 @@ def solve_constraints(
     )
     lam0 = jnp.where(row_active, lam0, 0.0)
 
-    omega = cfg.relaxation
+    def A_mv(x):
+        """Matrix-free Delassus matvec restricted to active rows."""
+        x = jnp.where(row_active, x, 0.0)
+        return jnp.where(row_active, J @ (MinvJT @ x), 0.0)
 
-    def body(_, lam):
-        r = A @ lam + b
-        step = omega * r / diag
-        new = lam - step
+    def project(lam):
         if ncon:
-            nc = new[: 3 * ncon].reshape(ncon, 3)
+            nc = lam[: 3 * ncon].reshape(ncon, 3)
             lam_n = jnp.maximum(nc[:, 0], 0.0)
-            # friction cone projection (per-tangent box then cone scale)
             t = nc[:, 1:3]
             t_norm = jnp.linalg.norm(t, axis=-1)
             max_t = mu * lam_n
-            scale = jnp.where(t_norm > max_t, max_t / jnp.maximum(t_norm, 1e-9), 1.0)
-            t = t * scale[:, None]
-            nc = jnp.concatenate([lam_n[:, None], t], axis=1)
-            new = new.at[: 3 * ncon].set(nc.reshape(-1))
+            scale = jnp.where(
+                t_norm > max_t, max_t / jnp.maximum(t_norm, 1e-9), 1.0
+            )
+            nc = jnp.concatenate([lam_n[:, None], t * scale[:, None]], axis=1)
+            lam = lam.at[: 3 * ncon].set(nc.reshape(-1))
         if n_lim:
-            new = new.at[3 * ncon :].set(jnp.maximum(new[3 * ncon :], 0.0))
-        return jnp.where(row_active, new, 0.0)
+            lam = lam.at[3 * ncon :].set(jnp.maximum(lam[3 * ncon :], 0.0))
+        return jnp.where(row_active, lam, 0.0)
 
-    lam = jax.lax.fori_loop(0, cfg.iterations, body, lam0)
+    # APGD (Nesterov-accelerated projected gradient) on the cone-constrained
+    # CCP: min 1/2 lam^T A lam + b^T lam, lam in K. Unlike projected Jacobi,
+    # APGD converges on REDUNDANT contact sets (e.g. four coincident box
+    # corners make A rank-deficient and Jacobi's iteration matrix has
+    # spectral radius > 1 -> energy injection). Lipschitz constant via a few
+    # matrix-free power iterations.
+    def power_body(_, v):
+        av = A_mv(v)
+        return av / jnp.maximum(jnp.linalg.norm(av), 1e-12)
+
+    v0 = jnp.where(row_active, 1.0, 0.0)
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-12)
+    v = jax.lax.fori_loop(0, 6, power_body, v0)
+    L = jnp.maximum(jnp.linalg.norm(A_mv(v)), jnp.max(diag))
+    inv_L = 1.0 / (1.1 * L)
+
+    def apgd_body(_, carry):
+        lam, y, theta = carry
+        g = A_mv(y) + jnp.where(row_active, b, 0.0)
+        lam_new = project(y - inv_L * g)
+        theta_new = 0.5 * (
+            jnp.sqrt(theta**4 + 4.0 * theta**2) - theta**2
+        )
+        beta = theta * (1.0 - theta) / (theta**2 + theta_new)
+        y_new = lam_new + beta * (lam_new - lam)
+        return lam_new, y_new, theta_new
+
+    lam, _, _ = jax.lax.fori_loop(
+        0, cfg.iterations, apgd_body, (lam0, lam0, jnp.asarray(1.0))
+    )
 
     qd = v_free + MinvJT @ lam
     if ncon:

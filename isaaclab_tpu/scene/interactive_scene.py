@@ -122,9 +122,32 @@ class InteractiveScene:
         for facade, name in zip(facades, names):
             facade.bind(self.world_model, self.slices[name])
 
-        # --- collision plan: ground contacts + declared pairs ---
+        # --- collision plan: ground contacts + inter-entity pairs ---
+        # (replaces PhysX broadphase: the candidate pair list is static —
+        # all geom pairs between DIFFERENT entities; self-collision off,
+        # matching the reference default. Box-box pairs are skipped: the
+        # narrowphase supports sphere/capsule vs anything and box vs
+        # sphere/capsule.)
+        from ..physics.model import GEOM_BOX
+
+        pairs = []
+        for i, ni in enumerate(names):
+            for nj in names[i + 1 :]:
+                si, sj = self.slices[ni], self.slices[nj]
+                geoms_i = self.world_model.geoms[
+                    si.geom_start : si.geom_start + si.geom_count
+                ]
+                geoms_j = self.world_model.geoms[
+                    sj.geom_start : sj.geom_start + sj.geom_count
+                ]
+                for ga in geoms_i:
+                    for gb in geoms_j:
+                        if ga.gtype == GEOM_BOX and gb.gtype == GEOM_BOX:
+                            continue
+                        pairs.append((ga, gb))
         self.collision_plan = CollisionPlan(
             self.world_model,
+            pairs=pairs,
             with_ground=self.terrain is not None or _any_ground_geoms(models),
         )
         self.n_lim_rows = 2 * self.world_model.nu

@@ -1,2 +1,2 @@
 """Manipulation task family (reference manager_based/manipulation/)."""
-from . import reach  # noqa: F401
+from . import lift, reach  # noqa: F401

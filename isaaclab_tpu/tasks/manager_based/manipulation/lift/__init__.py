@@ -1,0 +1,16 @@
+"""Franka lift task (reference manipulation/lift registrations)."""
+
+import gymnasium as gym
+
+from . import agents
+from .lift_env_cfg import FrankaLiftEnvCfg
+
+gym.register(
+    id="Isaac-Lift-Cube-Franka-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": FrankaLiftEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:LiftPPORunnerCfg",
+    },
+)

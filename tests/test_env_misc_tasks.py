@@ -41,3 +41,20 @@ def test_registry_has_all_families():
         "Hover",
     ]:
         assert expected in ids, f"missing {expected}"
+
+
+def test_lift_task_object_contacts():
+    """Lift env: cube rests on ground; closing the gripper near it engages
+    robot-object contact rows (world-merge coupling)."""
+    cfg = parse_env_cfg("Isaac-Lift-Cube-Franka-v0", num_envs=2)
+    env = gym.make("Isaac-Lift-Cube-Franka-v0", cfg=cfg).unwrapped
+    state = jax.jit(env.init_state)(jax.random.PRNGKey(0))
+    A = env.action_manager.total_action_dim
+    step = jax.jit(env.step_state)
+    for _ in range(20):
+        state, (obs, rew, term, trunc, _) = step(state, jnp.zeros((2, A)))
+    assert bool(jnp.all(jnp.isfinite(obs["policy"])))
+    # the cube must have settled on the ground (z ~ half-extent 0.03)
+    views, _ = env.scene.data_views(state.scene, env.physics_dt)
+    z = views["object"].root_pos_w[:, 2]
+    assert bool(jnp.all((z > 0.01) & (z < 0.08))), f"cube z={z}"

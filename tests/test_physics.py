@@ -315,3 +315,37 @@ class TestBatching:
         assert bool(jnp.all(jnp.isfinite(out.q)))
         # different initial conditions -> different evolution
         assert len(set(np.asarray(out.q[:, 0]).round(6).tolist())) == n_envs
+
+
+class TestCrbaWorld:
+    def test_matches_recursive_crba(self):
+        """Jacobian-space mass matrix == Featherstone CRBA on a floating-base
+        multi-body (anymal-like) at random configurations."""
+        import jax.numpy as jnp
+
+        from isaaclab_tpu.assets_presets.anymal import build_anymal_c_model
+        from isaaclab_tpu.physics.solver import crba_world
+
+        model = build_anymal_c_model()
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def both(q):
+            kin = forward_kinematics(model, q)
+            H1 = crba(model, kin)
+            H2 = crba_world(
+                model, kin,
+                jnp.asarray(model.mass), jnp.asarray(model.inertia),
+                jnp.asarray(model.com),
+            )
+            return H1, H2
+
+        q = jnp.asarray(model.default_qpos())
+        # random perturbation incl. base rotation
+        dq = jax.random.uniform(key, (model.nq,), minval=-0.3, maxval=0.3)
+        q = q + dq
+        from isaaclab_tpu.utils import math as mu
+
+        q = q.at[3:7].set(mu.normalize(q[3:7]))
+        H1, H2 = both(q)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), atol=2e-4)
