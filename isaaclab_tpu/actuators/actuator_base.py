@@ -69,20 +69,27 @@ class ActuatorBaseCfg:
 
 
 def _resolve_param(value, default, joint_names):
-    """Resolve float | dict[regex->float] | None to an (n,) array."""
+    """Resolve float | dict[regex->float] | None to an (n,) HOST numpy array.
+
+    Host-side on purpose: these are construction-time constants consumed by
+    later device code; returning device arrays here forces device-to-host
+    copies in consumers (and a single D2H permanently degrades dispatch on
+    tunneled-TPU runtimes).
+    """
     n = len(joint_names)
     if value is None:
-        return jnp.asarray(default, dtype=jnp.float32) * jnp.ones(n)
+        return np.broadcast_to(
+            np.asarray(default, dtype=np.float32), (n,)
+        ).copy()
     if isinstance(value, dict):
-        out = np.array(
-            np.broadcast_to(np.asarray(default, dtype=np.float32), (n,)),
-            dtype=np.float32,
+        out = np.broadcast_to(
+            np.asarray(default, dtype=np.float32), (n,)
         ).copy()
         idx, _, vals = string_utils.resolve_matching_names_values(value, joint_names)
         for i, v in zip(idx, vals):
             out[i] = v
-        return jnp.asarray(out)
-    return jnp.full((n,), float(value))
+        return out
+    return np.full((n,), float(value), dtype=np.float32)
 
 
 class ActuatorBase:

@@ -65,7 +65,7 @@ class DCMotor(IdealPDActuator):
 
     def __init__(self, cfg, joint_names, joint_ids, **kw):
         super().__init__(cfg, joint_names, joint_ids, **kw)
-        self.saturation_effort = jnp.asarray(
+        self.saturation_effort = float(
             cfg.saturation_effort if cfg.saturation_effort is not None else 1e9
         )
 

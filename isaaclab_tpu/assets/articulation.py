@@ -162,8 +162,10 @@ class Articulation(AssetBase):
         damp = np.zeros(nu, dtype=np.float32)
         act_states = []
         for act in self._actuators.values():
-            stiff[act.joint_ids] = np.asarray(act.stiffness)
-            damp[act.joint_ids] = np.asarray(act.damping)
+            # actuator params are host numpy by design — NO device-to-host
+            # copies here (a single D2H degrades tunneled-TPU dispatch)
+            stiff[act.joint_ids] = act.stiffness
+            damp[act.joint_ids] = act.damping
             act_states.append(act.init_state(E))
         tile = lambda x: jnp.tile(jnp.asarray(x), (E, 1))
         z = jnp.zeros((E, nu))

@@ -207,8 +207,16 @@ def step(
     qd_new = jnp.clip(result.qd, -cfg.max_velocity, cfg.max_velocity)
     q_new = integrate_q(model, state.q, qd_new, dt)
 
+    # warm start uses the solver's grouped row layout [N | T1 | T2 | limits]
     lam = (
-        jnp.concatenate([result.contact_impulse.reshape(-1), jnp.zeros(2 * model.nu)])
+        jnp.concatenate(
+            [
+                result.contact_impulse[:, 0],
+                result.contact_impulse[:, 1],
+                result.contact_impulse[:, 2],
+                jnp.zeros(2 * model.nu),
+            ]
+        )
         if contacts.depth.shape[0] or model.nu
         else state.warm_lambda
     )

@@ -128,11 +128,19 @@ def _quat_to_mat(q):
     return mu.matrix_from_quat(q)
 
 
-def contact_jacobians(model: RobotModel, kin: Kinematics, contacts: Contacts):
-    """(ncon*3, nv) stacked [normal, tangent1, tangent2] rows per contact."""
+def contact_jacobians_t(model: RobotModel, kin: Kinematics, contacts: Contacts):
+    """(nv, 3*ncon) TRANSPOSED constraint Jacobian, rows grouped
+    [normals | tangent1s | tangent2s].
+
+    Layout rationale (TPU): the APGD loop reads the Jacobian every sweep; with
+    (rows, nv) layout the nv=12..18 minor dimension pads to the 128-lane tile
+    and multiplies HBM traffic ~7x. Storing (nv, rows) puts the large rows
+    dimension on lanes. Row GROUPING by type makes the cone projection pure
+    lane-wise slicing (no (ncon, 3) reshapes).
+    """
     ncon = contacts.depth.shape[0]
     if ncon == 0:
-        return jnp.zeros((0, model.nv))
+        return jnp.zeros((model.nv, 0))
     J = point_jacobians_batch(model, kin, contacts.pos, contacts.body_a)
     if np.any(contacts.body_b >= 0):
         J_b = point_jacobians_batch(
@@ -142,9 +150,21 @@ def contact_jacobians(model: RobotModel, kin: Kinematics, contacts: Contacts):
         J = J - J_b * b_valid[:, None, None]
     n = contacts.normal  # (ncon, 3)
     t1, t2 = tangent_basis(n)
-    frames = jnp.stack([n, t1, t2], axis=1)  # (ncon, 3, 3)
-    rows = jnp.einsum("cfk,ckv->cfv", frames, J)  # (ncon, 3, nv)
-    return rows.reshape(3 * ncon, -1)
+    frames = jnp.stack([n, t1, t2], axis=1)  # (ncon, 3frames, 3)
+    # -> (nv, 3frames, ncon) -> (nv, 3*ncon) with [N | T1 | T2] grouping
+    rows = jnp.einsum("cfk,ckv->vfc", frames, J)
+    return rows.reshape(model.nv, 3 * ncon)
+
+
+def contact_jacobians(model: RobotModel, kin: Kinematics, contacts: Contacts):
+    """(ncon*3, nv) interleaved [n, t1, t2] per contact (legacy layout for
+    tests/back-compat; the solver uses :func:`contact_jacobians_t`)."""
+    ncon = contacts.depth.shape[0]
+    if ncon == 0:
+        return jnp.zeros((0, model.nv))
+    Jt = contact_jacobians_t(model, kin, contacts)  # (nv, 3*ncon) grouped
+    grouped = Jt.T.reshape(3, ncon, model.nv)  # [N, T1, T2]
+    return jnp.swapaxes(grouped, 0, 1).reshape(3 * ncon, model.nv)
 
 
 def tangent_basis(n):
@@ -166,14 +186,25 @@ def _tangent_basis(n):
     return t1[0], t2[0]
 
 
+def limit_rows_t(model: RobotModel):
+    """Static (nv, 2*nu) transposed limit rows, grouped [lowers | uppers]."""
+    if model.nu == 0:
+        return np.zeros((model.nv, 0))
+    J = np.zeros((model.nv, 2 * model.nu))
+    for i, v in enumerate(model.dof_v_index):
+        J[v, i] = 1.0  # lower limit: positive impulse pushes q up
+        J[v, model.nu + i] = -1.0  # upper limit
+    return J
+
+
 def limit_rows(model: RobotModel):
-    """Static (2*nu, nv) signed selector rows for lower/upper joint limits."""
+    """Legacy (2*nu, nv) interleaved [lo_i, hi_i] layout."""
     if model.nu == 0:
         return np.zeros((0, model.nv))
     J = np.zeros((2 * model.nu, model.nv))
     for i, v in enumerate(model.dof_v_index):
-        J[2 * i, v] = 1.0  # lower limit: qd must not decrease q further
-        J[2 * i + 1, v] = -1.0  # upper limit
+        J[2 * i, v] = 1.0
+        J[2 * i + 1, v] = -1.0
     return J
 
 
@@ -198,9 +229,15 @@ def solve_constraints(
 ):
     """Solve contacts + joint limits; returns corrected qd and contact forces.
 
-    ``H_chol``: Cholesky factor of the (armature-augmented) mass matrix.
-    ``v_free``: post-force, pre-constraint velocity (qd + dt * qdd_free).
-    ``q_arts``: (nu,) articulated joint positions (for limit violation).
+    Row layout: [normals(ncon) | tangent1(ncon) | tangent2(ncon) |
+    limit_lo(nu) | limit_hi(nu)] — grouped so the cone projection is pure
+    slicing. ``warm_lambda`` uses the same grouped layout.
+
+    APGD (Nesterov-accelerated projected gradient) on the cone-constrained
+    CCP: min 1/2 lam^T A lam + b^T lam, lam in K, with A = J H^-1 J^T kept
+    matrix-free. Unlike projected Jacobi, APGD converges on REDUNDANT contact
+    sets (coincident box corners make A rank-deficient; Jacobi's iteration
+    matrix then has spectral radius > 1 -> energy injection).
     """
     ncon = contacts.depth.shape[0]
     n_lim = 2 * model.nu
@@ -213,56 +250,46 @@ def solve_constraints(
             contact_force_w=jnp.zeros((0, 3)),
         )
 
-    J_c = contact_jacobians(model, kin, contacts)  # (3*ncon, nv)
-    J_l = jnp.asarray(limit_rows(model))  # (2*nu, nv)
-    J = jnp.concatenate([J_c, J_l], axis=0) if n_lim else J_c
-
-    # matrix-free Delassus: keep A = J H^-1 J^T implicit. Materializing A is
-    # (nrows x nrows) per env — the dominant HBM traffic at locomotion scale;
-    # two skinny (nrows x nv) matvecs per sweep touch ~3x less memory.
-    MinvJT = jax.scipy.linalg.cho_solve((H_chol, True), J.T)  # (nv, nrows)
-    diag = jnp.clip(jnp.einsum("rv,vr->r", J, MinvJT), 1e-8, None)
+    J_t = contact_jacobians_t(model, kin, contacts)  # (nv, 3*ncon)
+    if n_lim:
+        J_t = jnp.concatenate([J_t, jnp.asarray(limit_rows_t(model))], axis=1)
+    # (nv, nrows): both operands of the solve iteration share this layout —
+    # nv stays in sublanes, the large rows dimension on lanes.
+    MinvJT = jax.scipy.linalg.cho_solve((H_chol, True), J_t)  # (nv, nrows)
+    diag = jnp.clip(jnp.einsum("vr,vr->r", J_t, MinvJT), 1e-8, None)
 
     # bias: b = J v_free + baumgarte + restitution (contacts), limit bias
-    b = J @ v_free
+    b = v_free @ J_t  # (nrows,)
     if ncon:
         active = contacts.depth > 0.0
-        # restitution on approach velocity beyond threshold
-        v_n_pre = J_c.reshape(ncon, 3, -1)[:, 0, :] @ v_free
+        v_n_pre = b[:ncon]
         rest = contacts.restitution * jnp.where(
             v_n_pre < -cfg.restitution_threshold, v_n_pre, 0.0
         )
         pen = jnp.maximum(contacts.depth - cfg.contact_slop, 0.0)
         bias_n = -cfg.baumgarte / dt * pen + rest
-        b_c = b[: 3 * ncon].reshape(ncon, 3)
-        b_c = b_c.at[:, 0].add(bias_n)
-        # deactivate non-touching candidates by zeroing their effect later via
-        # the mask; also zero their bias to keep the iteration well-scaled
-        b_c = jnp.where(active[:, None], b_c, 0.0)
-        b = b.at[: 3 * ncon].set(b_c.reshape(-1))
+        b = b.at[:ncon].add(bias_n)
     if n_lim:
         lo = jnp.asarray(model.dof_limit_lower) if limit_lower is None else limit_lower
         hi = jnp.asarray(model.dof_limit_upper) if limit_upper is None else limit_upper
-        viol_lo = jnp.maximum(lo - q_arts, 0.0)  # >0 when below lower limit
+        viol_lo = jnp.maximum(lo - q_arts, 0.0)
         viol_hi = jnp.maximum(q_arts - hi, 0.0)
-        # rows ordered [lo_0, hi_0, lo_1, hi_1, ...]
-        bias_l = jnp.stack(
-            [-cfg.limit_baumgarte / dt * viol_lo, -cfg.limit_baumgarte / dt * viol_hi],
-            axis=1,
-        ).reshape(-1)
-        lim_active = jnp.stack(
-            [(q_arts - lo) < 0.05, (hi - q_arts) < 0.05], axis=1
-        ).reshape(-1)
+        bias_l = jnp.concatenate(
+            [-cfg.limit_baumgarte / dt * viol_lo, -cfg.limit_baumgarte / dt * viol_hi]
+        )
+        lim_active = jnp.concatenate(
+            [(q_arts - lo) < 0.05, (hi - q_arts) < 0.05]
+        )
         b = b.at[3 * ncon :].add(bias_l)
     else:
         lim_active = jnp.zeros((0,), dtype=bool)
 
-    # row activity mask
     if ncon:
-        con_active = jnp.repeat(contacts.depth > 0.0, 3)
+        con_active = jnp.tile(contacts.depth > 0.0, 3)
     else:
         con_active = jnp.zeros((0,), dtype=bool)
     row_active = jnp.concatenate([con_active, lim_active])
+    b = jnp.where(row_active, b, 0.0)
 
     mu = contacts.friction if ncon else jnp.zeros((0,))
 
@@ -273,61 +300,16 @@ def solve_constraints(
     )
     lam0 = jnp.where(row_active, lam0, 0.0)
 
-    def A_mv(x):
-        """Matrix-free Delassus matvec restricted to active rows."""
-        x = jnp.where(row_active, x, 0.0)
-        return jnp.where(row_active, J @ (MinvJT @ x), 0.0)
-
-    def project(lam):
-        if ncon:
-            nc = lam[: 3 * ncon].reshape(ncon, 3)
-            lam_n = jnp.maximum(nc[:, 0], 0.0)
-            t = nc[:, 1:3]
-            t_norm = jnp.linalg.norm(t, axis=-1)
-            max_t = mu * lam_n
-            scale = jnp.where(
-                t_norm > max_t, max_t / jnp.maximum(t_norm, 1e-9), 1.0
-            )
-            nc = jnp.concatenate([lam_n[:, None], t * scale[:, None]], axis=1)
-            lam = lam.at[: 3 * ncon].set(nc.reshape(-1))
-        if n_lim:
-            lam = lam.at[3 * ncon :].set(jnp.maximum(lam[3 * ncon :], 0.0))
-        return jnp.where(row_active, lam, 0.0)
-
-    # APGD (Nesterov-accelerated projected gradient) on the cone-constrained
-    # CCP: min 1/2 lam^T A lam + b^T lam, lam in K. Unlike projected Jacobi,
-    # APGD converges on REDUNDANT contact sets (e.g. four coincident box
-    # corners make A rank-deficient and Jacobi's iteration matrix has
-    # spectral radius > 1 -> energy injection). Lipschitz constant via a few
-    # matrix-free power iterations.
-    def power_body(_, v):
-        av = A_mv(v)
-        return av / jnp.maximum(jnp.linalg.norm(av), 1e-12)
-
-    v0 = jnp.where(row_active, 1.0, 0.0)
-    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-12)
-    v = jax.lax.fori_loop(0, 6, power_body, v0)
-    L = jnp.maximum(jnp.linalg.norm(A_mv(v)), jnp.max(diag))
-    inv_L = 1.0 / (1.1 * L)
-
-    def apgd_body(_, carry):
-        lam, y, theta = carry
-        g = A_mv(y) + jnp.where(row_active, b, 0.0)
-        lam_new = project(y - inv_L * g)
-        theta_new = 0.5 * (
-            jnp.sqrt(theta**4 + 4.0 * theta**2) - theta**2
-        )
-        beta = theta * (1.0 - theta) / (theta**2 + theta_new)
-        y_new = lam_new + beta * (lam_new - lam)
-        return lam_new, y_new, theta_new
-
-    lam, _, _ = jax.lax.fori_loop(
-        0, cfg.iterations, apgd_body, (lam0, lam0, jnp.asarray(1.0))
+    lam = apgd_solve(
+        J_t, MinvJT, b, diag, row_active, mu, lam0, ncon, n_lim,
+        cfg.iterations,
     )
 
     qd = v_free + MinvJT @ lam
     if ncon:
-        imp = lam[: 3 * ncon].reshape(ncon, 3)
+        imp = jnp.stack(
+            [lam[:ncon], lam[ncon : 2 * ncon], lam[2 * ncon : 3 * ncon]], axis=-1
+        )
         t1, t2 = tangent_basis(contacts.normal)
         contact_force_w = (
             contacts.normal * imp[:, 0:1] + t1 * imp[:, 1:2] + t2 * imp[:, 2:3]
@@ -336,3 +318,58 @@ def solve_constraints(
         imp = jnp.zeros((0, 3))
         contact_force_w = jnp.zeros((0, 3))
     return SolveResult(qd=qd, contact_impulse=imp, contact_force_w=contact_force_w)
+
+
+def apgd_solve(J_t, MinvJT, b, diag, row_active, mu, lam0, ncon, n_lim,
+               iterations):
+    """Accelerated projected gradient descent over the grouped-row CCP.
+
+    Pure-XLA reference implementation; the Pallas TPU kernel in
+    :mod:`pallas_solver` computes the same iteration with the Jacobian
+    resident in VMEM.
+    """
+    active_f = row_active.astype(J_t.dtype)
+
+    def A_mv(x):
+        return (J_t * (MinvJT @ (x * active_f))[:, None]).sum(0) * active_f
+
+    def project(lam):
+        if ncon:
+            lam_n = jnp.maximum(lam[:ncon], 0.0)
+            t1 = lam[ncon : 2 * ncon]
+            t2 = lam[2 * ncon : 3 * ncon]
+            t_norm = jnp.sqrt(t1 * t1 + t2 * t2)
+            max_t = mu * lam_n
+            scale = jnp.where(
+                t_norm > max_t, max_t / jnp.maximum(t_norm, 1e-9), 1.0
+            )
+            lam = jnp.concatenate(
+                [lam_n, t1 * scale, t2 * scale, jnp.maximum(lam[3 * ncon :], 0.0)]
+            )
+        else:
+            lam = jnp.maximum(lam, 0.0)
+        return lam * active_f
+
+    # Lipschitz constant via matrix-free power iteration
+    def power_body(_, v):
+        av = A_mv(v)
+        return av / jnp.maximum(jnp.linalg.norm(av), 1e-12)
+
+    v0 = active_f / jnp.maximum(jnp.linalg.norm(active_f), 1e-12)
+    v = jax.lax.fori_loop(0, 6, power_body, v0)
+    L = jnp.maximum(jnp.linalg.norm(A_mv(v)), jnp.max(diag))
+    inv_L = 1.0 / (1.1 * L)
+
+    def apgd_body(_, carry):
+        lam, y, theta = carry
+        g = A_mv(y) + b
+        lam_new = project(y - inv_L * g)
+        theta_new = 0.5 * (jnp.sqrt(theta**4 + 4.0 * theta**2) - theta**2)
+        beta = theta * (1.0 - theta) / (theta**2 + theta_new)
+        y_new = lam_new + beta * (lam_new - lam)
+        return lam_new, y_new, theta_new
+
+    lam, _, _ = jax.lax.fori_loop(
+        0, iterations, apgd_body, (lam0, lam0, jnp.asarray(1.0, dtype=J_t.dtype))
+    )
+    return lam
