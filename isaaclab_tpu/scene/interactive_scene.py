@@ -108,6 +108,10 @@ class InteractiveScene:
         models, names, facades = [], [], []
         for name, ecfg in entity_cfgs.items():
             model = _resolve_model(ecfg.model)
+            if isinstance(ecfg, ArticulationCfg) and not model.floating_base:
+                # fixed-base world placement: bake cfg.init_state pose into
+                # the root joint frame (floating bases get it via q instead)
+                _apply_fixed_base_pose(model, ecfg.init_state)
             if isinstance(ecfg, ArticulationCfg):
                 facade = Articulation(ecfg, model)
                 self.articulations[name] = facade
@@ -370,3 +374,15 @@ def _resolve_model(source):
 
 def _any_ground_geoms(models) -> bool:
     return any(len(m.geoms) > 0 for m in models)
+
+
+def _apply_fixed_base_pose(model, init_state) -> None:
+    """Compose an init pose into a fixed-base model's root joint frame."""
+    import numpy as np
+
+    from ..sim.converters import _quat_apply_np, _quat_mul_np
+
+    pos = np.asarray(init_state.pos, dtype=np.float64)
+    rot = np.asarray(init_state.rot, dtype=np.float64)
+    model.jnt_pos[0] = pos + _quat_apply_np(rot, model.jnt_pos[0])
+    model.jnt_quat[0] = _quat_mul_np(rot, model.jnt_quat[0])

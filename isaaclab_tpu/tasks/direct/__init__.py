@@ -1,2 +1,2 @@
 """Direct-workflow task families (reference isaaclab_tasks/direct/)."""
-from . import cartpole, quadcopter  # noqa: F401
+from . import cartpole, quadcopter, shadow_hand  # noqa: F401
