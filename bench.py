@@ -36,12 +36,17 @@ def main():
 
     # jit the init: eager init is minutes of tiny dispatches over the tunnel
     state = jax.jit(env.init_state)(jax.random.PRNGKey(0))
-    action = jnp.zeros((num_envs, env.action_manager.total_action_dim))
+    act_dim = env.action_manager.total_action_dim
 
     steps_per_call = 64
 
     @jax.jit
     def run_chunk(s):
+        # NOTE: the action buffer is created INSIDE the trace — closing over
+        # an eagerly-created device array forces a trace-time device-to-host
+        # copy that permanently degrades dispatch over the axon TPU tunnel.
+        action = jnp.zeros((num_envs, act_dim))
+
         def body(carry, _):
             s2, _out = env.step_state(carry, action)
             return s2, None
@@ -53,10 +58,16 @@ def main():
     state = run_chunk(state)
     jax.block_until_ready(state.scene.phys.q)
 
-    n_calls = 8
+    # time-based loop: enough chunks to dominate timer/dispatch noise
+    n_calls = 0
     t0 = time.perf_counter()
-    for _ in range(n_calls):
+    while True:
         state = run_chunk(state)
+        n_calls += 1
+        if n_calls % 64 == 0:
+            jax.block_until_ready(state.scene.phys.q)
+            if time.perf_counter() - t0 > 3.0:
+                break
     jax.block_until_ready(state.scene.phys.q)
     dt = time.perf_counter() - t0
 

@@ -51,9 +51,16 @@ class ActuatorNetMLP(DCMotor):
         if cfg.network_params is not None:
             self.params = cfg.network_params
         else:
-            self.params = self.net.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 2 * len(self.input_idx)))
-            )
+            # init on the CPU backend + keep numpy: device-array closures
+            # force trace-time D2H (degrades tunneled-TPU runtimes)
+            with jax.default_device(jax.devices("cpu")[0]):
+                p0 = self.net.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 2 * len(self.input_idx))),
+                )
+            import numpy as _np
+
+            self.params = jax.tree.map(_np.asarray, p0)
         self.pos_scale = float(cfg.pos_scale)
         self.vel_scale = float(cfg.vel_scale)
         self.torque_scale = float(cfg.torque_scale)
@@ -109,10 +116,17 @@ class ActuatorNetLSTM(DCMotor):
         if cfg.network_params is not None:
             self.params = cfg.network_params
         else:
-            self.params = self.cell.init(
-                jax.random.PRNGKey(0), dummy_carry, jnp.zeros((1, 2))
-            )
-        self.out_proj = jnp.zeros((self.features, 1)).at[0, 0].set(1.0)
+            with jax.default_device(jax.devices("cpu")[0]):
+                p0 = self.cell.init(
+                    jax.random.PRNGKey(0), dummy_carry, jnp.zeros((1, 2))
+                )
+            import numpy as _np
+
+            self.params = jax.tree.map(_np.asarray, p0)
+        import numpy as _np2
+
+        self.out_proj = _np2.zeros((self.features, 1), dtype=_np2.float32)
+        self.out_proj[0, 0] = 1.0
 
     def init_state(self, num_envs: int):
         n = self.num_joints * num_envs

@@ -31,8 +31,10 @@ from ..utils import string as string_utils
 from ..utils.configclass import configclass
 from .asset_base import AssetBase, AssetBaseCfg
 
-GRAVITY_DIR = jnp.array([0.0, 0.0, -1.0])
-FORWARD_VEC_B = jnp.array([1.0, 0.0, 0.0])
+# host numpy on purpose: closure-captured DEVICE constants force a
+# device-to-host fetch at trace time (degrades tunneled-TPU runtimes)
+GRAVITY_DIR = np.array([0.0, 0.0, -1.0], dtype=np.float32)
+FORWARD_VEC_B = np.array([1.0, 0.0, 0.0], dtype=np.float32)
 
 
 @configclass
@@ -140,8 +142,8 @@ class Articulation(AssetBase):
             )
             for i, v in zip(idx, vals):
                 jv[i] = v
-        self._default_joint_pos = jnp.asarray(jp)
-        self._default_joint_vel = jnp.asarray(jv)
+        self._default_joint_pos = jp.astype(np.float32)
+        self._default_joint_vel = jv.astype(np.float32)
 
     def init_entity_state(self, num_envs: int, env_origins) -> ArticulationEntityState:
         """Initial batched entity state (defaults tiled over envs)."""

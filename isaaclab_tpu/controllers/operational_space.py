@@ -35,11 +35,16 @@ class OperationalSpaceController:
     def __init__(self, cfg: OperationalSpaceControllerCfg, num_envs: int):
         self.cfg = cfg
         self.num_envs = num_envs
-        kp = jnp.asarray(cfg.motion_stiffness_task, dtype=jnp.float32)
-        self._kp = jnp.broadcast_to(kp, (6,))
-        self._kd = 2.0 * jnp.sqrt(self._kp) * jnp.asarray(
-            cfg.motion_damping_ratio_task
+        import numpy as _np
+
+        # host numpy: trace-time constants (device closures force D2H)
+        kp = _np.broadcast_to(
+            _np.asarray(cfg.motion_stiffness_task, dtype=_np.float32), (6,)
         )
+        self._kp = kp
+        self._kd = (
+            2.0 * _np.sqrt(kp) * _np.asarray(cfg.motion_damping_ratio_task)
+        ).astype(_np.float32)
 
     @property
     def action_dim(self) -> int:

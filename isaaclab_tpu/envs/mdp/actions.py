@@ -31,18 +31,18 @@ class JointAction(ActionTerm):
             idx, _, vals = string_utils.resolve_matching_names_values(scale, names)
             for i, v in zip(idx, vals):
                 arr[i] = v
-            self._scale = jnp.asarray(arr)
+            self._scale = arr.astype(np.float32)
         else:
-            self._scale = jnp.asarray(float(scale))
+            self._scale = np.float32(scale)
         offset = cfg.offset
         if isinstance(offset, dict):
             arr = np.zeros(n)
             idx, _, vals = string_utils.resolve_matching_names_values(offset, names)
             for i, v in zip(idx, vals):
                 arr[i] = v
-            self._offset = jnp.asarray(arr)
+            self._offset = arr.astype(np.float32)
         else:
-            self._offset = jnp.asarray(float(offset))
+            self._offset = np.float32(offset)
         self._use_default_offset = getattr(cfg, "use_default_offset", False)
 
     @property
@@ -119,15 +119,21 @@ class EMAJointPositionToLimitsAction(JointAction):
         entity = self._asset
         s = entity.slice
         lo = jnp.asarray(
-            entity.world_model.dof_limit_lower[
-                s.dof_start : s.dof_start + s.dof_count
-            ]
-        )[self._joint_ids]
+            np.asarray(
+                entity.world_model.dof_limit_lower[
+                    s.dof_start : s.dof_start + s.dof_count
+                ],
+                dtype=np.float32,
+            )[self._joint_ids]
+        )
         hi = jnp.asarray(
-            entity.world_model.dof_limit_upper[
-                s.dof_start : s.dof_start + s.dof_count
-            ]
-        )[self._joint_ids]
+            np.asarray(
+                entity.world_model.dof_limit_upper[
+                    s.dof_start : s.dof_start + s.dof_count
+                ],
+                dtype=np.float32,
+            )[self._joint_ids]
+        )
         scaled = math_utils.unscale_transform(
             jnp.clip(actions * self._scale, -1.0, 1.0), lo, hi
         )
@@ -155,7 +161,7 @@ class BinaryJointPositionAction(ActionTerm):
                     arr[i] = v
             else:
                 arr[:] = cmd
-            return jnp.asarray(arr)
+            return arr.astype(np.float32)
 
         self._open = resolve(cfg.open_command_expr)
         self._close = resolve(cfg.close_command_expr)
@@ -184,8 +190,8 @@ class NonHolonomicAction(ActionTerm):
         y_ids, _ = self._asset.find_joints(cfg.y_joint_name)
         yaw_ids, _ = self._asset.find_joints(cfg.yaw_joint_name)
         self._ids = np.asarray([x_ids[0], y_ids[0], yaw_ids[0]], dtype=np.int32)
-        self._scale = jnp.asarray(cfg.scale)
-        self._offset = jnp.asarray(cfg.offset)
+        self._scale = np.asarray(cfg.scale, dtype=np.float32)
+        self._offset = np.asarray(cfg.offset, dtype=np.float32)
 
     @property
     def action_dim(self):

@@ -43,18 +43,21 @@ class HeightField(NamedTuple):
     def sample(self, xy):
         """Bilinear height lookup at world (..., 2) positions; O(1) per query,
         the TPU answer to Warp's BVH raycast for terrain (SURVEY.md §2.10)."""
-        rel = (xy - self.origin) / self.horizontal_scale
+        # heights may be host numpy (trace-time constant); convert inside the
+        # trace so gathers with traced indices work
+        H = jnp.asarray(self.heights)
+        rel = (xy - jnp.asarray(self.origin)) / self.horizontal_scale
         r, c = rel[..., 0], rel[..., 1]
-        nr, nc = self.heights.shape
+        nr, nc = H.shape
         r = jnp.clip(r, 0.0, nr - 1.001)
         c = jnp.clip(c, 0.0, nc - 1.001)
         r0 = jnp.floor(r).astype(jnp.int32)
         c0 = jnp.floor(c).astype(jnp.int32)
         fr, fc = r - r0, c - c0
-        h00 = self.heights[r0, c0]
-        h10 = self.heights[r0 + 1, c0]
-        h01 = self.heights[r0, c0 + 1]
-        h11 = self.heights[r0 + 1, c0 + 1]
+        h00 = H[r0, c0]
+        h10 = H[r0 + 1, c0]
+        h01 = H[r0, c0 + 1]
+        h11 = H[r0 + 1, c0 + 1]
         return (
             h00 * (1 - fr) * (1 - fc)
             + h10 * fr * (1 - fc)

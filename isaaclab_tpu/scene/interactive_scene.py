@@ -168,13 +168,17 @@ class InteractiveScene:
         """(E, 3) spawn origins. Terrain-relative (zeros on flat ground)."""
         if self.terrain is not None:
             return self.terrain.env_origins
-        return jnp.zeros((self.num_envs, 3))
+        import numpy as np
+
+        return np.zeros((self.num_envs, 3), dtype=np.float32)
 
     def terrain_offsets(self):
         """(E, 3) per-env terrain cell offsets for height-field queries."""
         if self.terrain is not None:
             return self.terrain.env_offsets
-        return jnp.zeros((self.num_envs, 3))
+        import numpy as np
+
+        return np.zeros((self.num_envs, 3), dtype=np.float32)
 
     @property
     def height_field(self):

@@ -73,8 +73,9 @@ class RayCaster(SensorBase):
             self.body_id = 0
         starts, dirs = cfg.pattern_cfg.func(cfg.pattern_cfg)
         self.num_rays = starts.shape[0]
-        self._ray_starts = jnp.asarray(starts)
-        self._ray_dirs = jnp.asarray(dirs)
+        # host numpy: device constants captured in jit force a trace-time D2H
+        self._ray_starts = np.asarray(starts, dtype=np.float32)
+        self._ray_dirs = np.asarray(dirs, dtype=np.float32)
         self._world_body = self.body_id + self.entity.slice.body_start
 
     def init_state(self, num_envs: int) -> RayCasterState:

@@ -16,12 +16,15 @@ import jax.numpy as jnp
 from ....utils.configclass import configclass
 
 # UAV_LIDAR rotor parameters (reference motor.py:19-26)
-ROTOR_DIRECTIONS = jnp.array([1.0, 1.0, -1.0, -1.0])
-ROTOR_FORCE_CONSTANTS = jnp.full(4, 4.33948e-07)
-ROTOR_MAX_VEL = jnp.full(4, 3800.0)
-ROTOR_MOMENT_CONSTANTS = jnp.full(4, 0.00932)
-ROTOR_TAU_UP = jnp.full(4, 0.0125)
-ROTOR_TAU_DOWN = jnp.full(4, 0.025)
+# host numpy: device constants captured by jitted closures force D2H at trace
+import numpy as np
+
+ROTOR_DIRECTIONS = np.array([1.0, 1.0, -1.0, -1.0], dtype=np.float32)
+ROTOR_FORCE_CONSTANTS = np.full(4, 4.33948e-07, dtype=np.float32)
+ROTOR_MAX_VEL = np.full(4, 3800.0, dtype=np.float32)
+ROTOR_MOMENT_CONSTANTS = np.full(4, 0.00932, dtype=np.float32)
+ROTOR_TAU_UP = np.full(4, 0.0125, dtype=np.float32)
+ROTOR_TAU_DOWN = np.full(4, 0.025, dtype=np.float32)
 
 
 @configclass
@@ -123,19 +126,20 @@ class MotorModel:
 
 
 # UAV_LIDAR rate PID gains (reference controller.py:21-24)
-RATE_GAIN_P = jnp.array([0.028, 0.04, 0.06])
-RATE_GAIN_I = jnp.array([0.2, 0.2, 0.06])
-RATE_GAIN_D = jnp.array([0.0006, 0.0008, 0.0])
-RATE_LIM_INT = jnp.array([0.3, 0.3, 0.3])
+RATE_GAIN_P = np.array([0.028, 0.04, 0.06], dtype=np.float32)
+RATE_GAIN_I = np.array([0.2, 0.2, 0.06], dtype=np.float32)
+RATE_GAIN_D = np.array([0.0006, 0.0008, 0.0], dtype=np.float32)
+RATE_LIM_INT = np.array([0.3, 0.3, 0.3], dtype=np.float32)
 
 # X-configuration mixer (reference controller.py:27-34)
-MIXER = jnp.array(
+MIXER = np.array(
     [
         [-0.70711, -0.70711, 1.0, 1.0],
         [0.70711, 0.70711, 1.0, 1.0],
         [0.70711, -0.70711, -1.0, 1.0],
         [-0.70711, 0.70711, -1.0, 1.0],
-    ]
+    ],
+    dtype=np.float32,
 )
 
 

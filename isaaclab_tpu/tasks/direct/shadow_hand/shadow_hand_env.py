@@ -76,11 +76,13 @@ class ShadowHandEnv(DirectRLEnv):
         self.num_hand_dofs = self._robot.num_joints
         self.cfg.action_space = self.num_hand_dofs
         self.num_actions = self.num_hand_dofs
-        lo = jnp.asarray(self._robot.model.dof_limit_lower)
-        hi = jnp.asarray(self._robot.model.dof_limit_upper)
+        import numpy as _np
+
+        lo = _np.asarray(self._robot.model.dof_limit_lower, dtype=_np.float32)
+        hi = _np.asarray(self._robot.model.dof_limit_upper, dtype=_np.float32)
         self._dof_lower, self._dof_upper = lo, hi
-        self._in_hand_pos = jnp.asarray(
-            self.cfg.scene.object.init_state.pos
+        self._in_hand_pos = _np.asarray(
+            self.cfg.scene.object.init_state.pos, dtype=_np.float32
         )
 
     def _init_user_state(self) -> dict:

@@ -39,23 +39,24 @@ class TerrainImporter:
         self.num_envs = num_envs
 
         if cfg.terrain_type == "plane" or cfg.terrain_generator is None:
+            # host numpy: these become trace-time constants in jitted code
             self.height_field = None
             self.generator = None
-            self.env_offsets = jnp.zeros((num_envs, 3))
-            self.env_origins = jnp.zeros((num_envs, 3))
-            self.terrain_levels = jnp.zeros(num_envs, dtype=jnp.int32)
-            self.terrain_types = jnp.zeros(num_envs, dtype=jnp.int32)
+            self.env_offsets = np.zeros((num_envs, 3), dtype=np.float32)
+            self.env_origins = np.zeros((num_envs, 3), dtype=np.float32)
+            self.terrain_levels = np.zeros(num_envs, dtype=np.int32)
+            self.terrain_types = np.zeros(num_envs, dtype=np.int32)
             self.max_terrain_level = 1
             return
 
         gen = TerrainGenerator(cfg.terrain_generator)
         self.generator = gen
         self.height_field = HeightField(
-            heights=jnp.asarray(gen.heights),
+            heights=np.asarray(gen.heights, dtype=np.float32),
             horizontal_scale=float(cfg.terrain_generator.horizontal_scale),
-            origin=jnp.zeros(2),
+            origin=np.zeros(2, dtype=np.float32),
         )
-        self._cell_origins = jnp.asarray(gen.origins)  # (R, C, 3)
+        self._cell_origins = np.asarray(gen.origins, dtype=np.float32)  # (R, C, 3)
         self.max_terrain_level = gen.num_rows
         # initial assignment: random level up to max_init (reference
         # terrain_importer env origin assignment)
@@ -65,21 +66,23 @@ class TerrainImporter:
             if cfg.max_init_terrain_level is not None
             else gen.num_rows
         )
-        levels = rng.integers(0, max(max_lvl, 1), size=num_envs)
+        levels = rng.integers(0, max(min(max_lvl, gen.num_rows), 1), size=num_envs)
         types = np.arange(num_envs) % gen.num_cols
-        self.terrain_levels = jnp.asarray(levels, dtype=jnp.int32)
-        self.terrain_types = jnp.asarray(types, dtype=jnp.int32)
-        self.env_offsets = self._offsets_for(self.terrain_levels, self.terrain_types)
-        self.env_origins = jnp.zeros((num_envs, 3))
+        self.terrain_levels = levels.astype(np.int32)
+        self.terrain_types = types.astype(np.int32)
+        self.env_offsets = np.asarray(
+            self._cell_origins[self.terrain_levels, self.terrain_types]
+        )
+        self.env_origins = np.zeros((num_envs, 3), dtype=np.float32)
 
     # ------------------------------------------------------------------
     def _offsets_for(self, levels, types):
-        return self._cell_origins[levels, types]
+        return jnp.asarray(self._cell_origins)[levels, types]
 
     def update_env_levels(self, levels, types=None):
         """Curriculum hook: returns new (E, 3) terrain offsets for the given
         per-env difficulty levels. The caller stores them in env state."""
-        types = types if types is not None else self.terrain_types
+        types = jnp.asarray(types if types is not None else self.terrain_types)
         levels = jnp.clip(levels, 0, self.max_terrain_level - 1)
         return self._offsets_for(levels.astype(jnp.int32), types)
 

@@ -14,8 +14,11 @@ class LinearInterpolation:
     ends. ``x`` / ``y`` are fixed device arrays; ``compute`` traces under jit."""
 
     def __init__(self, x, y):
-        self.x = jnp.asarray(x).reshape(-1)
-        self.y = jnp.asarray(y).reshape(-1)
+        import numpy as np
+
+        # host numpy (trace-time constant; device arrays here force D2H)
+        self.x = np.asarray(x, dtype=np.float32).reshape(-1)
+        self.y = np.asarray(y, dtype=np.float32).reshape(-1)
         if self.x.shape != self.y.shape:
             raise ValueError("x and y must have the same length")
 

@@ -102,3 +102,27 @@ class TestQuadcopterHover:
         # mixer col 0: rotors 1,2 spin up, 0,3 down for +roll torque cmd
         cmd = np.asarray(cmd)[0]
         assert cmd[1] > cmd[0] and cmd[2] > cmd[3]
+
+
+class TestLidarFly:
+    def test_steps_with_lidar(self):
+        from isaaclab_tpu.tasks.direct.quadcopter.lidarfly_env import (
+            LidarFlyEnv,
+            LidarFlyEnvCfg,
+        )
+
+        cfg = LidarFlyEnvCfg()
+        cfg.scene.num_envs = 4
+        env = LidarFlyEnv(cfg)
+        assert env.num_rays == 3 * 36
+        state = jax.jit(env.init_state)(jax.random.PRNGKey(0))
+        step = jax.jit(env.step_state)
+        hover = jnp.zeros((4, 4)).at[:, 3].set(0.3)
+        for _ in range(5):
+            state, (obs, rew, died, to, extras) = step(state, hover)
+        assert obs["policy"].shape == (4, env.num_rays + 17)
+        assert bool(jnp.all(jnp.isfinite(obs["policy"])))
+        assert "reset_lidar" in extras
+        # scan values in [0, 1]
+        scan = obs["policy"][:, : env.num_rays]
+        assert bool(jnp.all((scan >= -1e-5) & (scan <= 1.0 + 1e-5)))
