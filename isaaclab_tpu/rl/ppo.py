@@ -85,9 +85,13 @@ def ppo_update(
     returns,
     cfg: RslRlPpoAlgorithmCfg,
     key,
+    aux_loss_fn=None,
 ):
     """Epochs x minibatches of clipped PPO with adaptive-KL LR
-    (rsl-rl PPO.update equivalent). ``batch`` arrays are (N, ...) flattened."""
+    (rsl-rl PPO.update equivalent). ``batch`` arrays are (N, ...) flattened.
+
+    ``aux_loss_fn(params, mb) -> scalar`` adds an algorithm-variant loss (the
+    fork's PPOCA cascade loss, reference rl_cfg.py:166-170)."""
     N = batch.obs.shape[0]
     mb_size = N // cfg.num_mini_batches
     if not cfg.normalize_advantage_per_mini_batch:
@@ -120,6 +124,8 @@ def ppo_update(
             + cfg.value_loss_coef * value_loss
             - cfg.entropy_coef * entropy
         )
+        if aux_loss_fn is not None:
+            total = total + aux_loss_fn(params, mb)
         # approximate KL for adaptive LR (rsl-rl formula)
         kl = jnp.mean(mb.log_prob - log_prob)
         return total, (policy_loss, value_loss, entropy, kl)
@@ -150,6 +156,108 @@ def ppo_update(
         perm = jax.random.permutation(k, N)
         idxs = perm[: mb_size * cfg.num_mini_batches].reshape(
             cfg.num_mini_batches, mb_size
+        )
+        carry, metrics = jax.lax.scan(minibatch_step, carry, idxs)
+        return carry, metrics
+
+    keys = jax.random.split(key, cfg.num_learning_epochs)
+    (params, opt_state, lr), metrics = jax.lax.scan(
+        epoch_step, (state.params, state.opt_state, state.learning_rate), keys
+    )
+    metrics = jnp.mean(metrics.reshape(-1, 5), axis=0)
+    return (
+        PPOUpdateState(params=params, opt_state=opt_state, learning_rate=lr),
+        {
+            "loss": metrics[0],
+            "policy_loss": metrics[1],
+            "value_loss": metrics[2],
+            "entropy": metrics[3],
+            "kl": metrics[4],
+            "learning_rate": lr,
+        },
+    )
+
+
+def ppo_update_recurrent(
+    apply_seq_fn,
+    state: PPOUpdateState,
+    optimizer,
+    traj: Transition,
+    init_carry,
+    advantages,
+    returns,
+    cfg: RslRlPpoAlgorithmCfg,
+    key,
+):
+    """Recurrent-policy PPO update (rsl-rl recurrent PPO equivalent).
+
+    Trajectories stay time-major ``(T, E, ...)``; minibatches are formed over
+    the *env* axis so each minibatch is a set of complete sequences replayed
+    through the LSTM from its stored rollout-start carry (``init_carry``,
+    leaves ``(E, H)``). ``apply_seq_fn(params, obs, critic_obs, carry0, dones)
+    -> (mean, log_std, value)`` replays a full sequence, resetting the carry
+    where ``dones`` is set (matching the rollout-side masking).
+    """
+    T, E = traj.reward.shape
+    mb_envs = E // cfg.num_mini_batches
+    if not cfg.normalize_advantage_per_mini_batch:
+        advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+
+    def loss_fn(params, mb, carry0, adv, ret):
+        mean, log_std, value = apply_seq_fn(
+            params, mb.obs, mb.critic_obs, carry0, mb.done
+        )
+        log_prob = gaussian_log_prob(mean, log_std, mb.action)
+        ratio = jnp.exp(log_prob - mb.log_prob)
+        adv_n = adv
+        if cfg.normalize_advantage_per_mini_batch:
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        surr1 = ratio * adv_n
+        surr2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * adv_n
+        policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        if cfg.use_clipped_value_loss:
+            v_clipped = mb.value + jnp.clip(
+                value - mb.value, -cfg.clip_param, cfg.clip_param
+            )
+            value_loss = jnp.mean(
+                jnp.maximum(jnp.square(value - ret), jnp.square(v_clipped - ret))
+            )
+        else:
+            value_loss = jnp.mean(jnp.square(value - ret))
+        entropy = jnp.mean(gaussian_entropy(log_std))
+        total = (
+            policy_loss
+            + cfg.value_loss_coef * value_loss
+            - cfg.entropy_coef * entropy
+        )
+        kl = jnp.mean(mb.log_prob - log_prob)
+        return total, (policy_loss, value_loss, entropy, kl)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def minibatch_step(carry, idx):
+        params, opt_state, lr = carry
+        mb = jax.tree.map(lambda x: x[:, idx], traj)
+        c0 = jax.tree.map(lambda x: x[idx], init_carry)
+        adv = advantages[:, idx]
+        ret = returns[:, idx]
+        (loss, (pl, vl, ent, kl)), grads = grad_fn(params, mb, c0, adv, ret)
+        if cfg.schedule == "adaptive" and cfg.desired_kl is not None:
+            lr = jnp.where(kl > cfg.desired_kl * 2.0, jnp.maximum(lr / 1.5, 1e-5), lr)
+            lr = jnp.where(
+                (kl < cfg.desired_kl / 2.0) & (kl > 0.0),
+                jnp.minimum(lr * 1.5, 1e-2),
+                lr,
+            )
+        opt_state[1].hyperparams["learning_rate"] = lr
+        updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state_new, lr), jnp.stack([loss, pl, vl, ent, kl])
+
+    def epoch_step(carry, k):
+        perm = jax.random.permutation(k, E)
+        idxs = perm[: mb_envs * cfg.num_mini_batches].reshape(
+            cfg.num_mini_batches, mb_envs
         )
         carry, metrics = jax.lax.scan(minibatch_step, carry, idxs)
         return carry, metrics

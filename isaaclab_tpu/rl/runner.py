@@ -7,6 +7,10 @@ only logs and checkpoints. Data parallelism (SURVEY.md §2.10 parallelism
 inventory) shards envs over the mesh's ``data`` axis via sharding constraints:
 gradients are averaged by XLA-inserted collectives, the learner stays
 replicated.
+
+Supports manager-based AND direct envs, feed-forward / recurrent (LSTM) /
+cascade actor-critics, and the fork's PPOCA algorithm variant
+(reference rl_cfg.py:22-34,166-170).
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ import numpy as np
 from .networks import (
     ActorCritic,
     ActorCriticCascade,
+    ActorCriticRecurrent,
     NormalizerState,
     normalize_obs,
     normalizer_update,
@@ -33,6 +38,7 @@ from .ppo import (
     gaussian_log_prob,
     make_optimizer,
     ppo_update,
+    ppo_update_recurrent,
 )
 from .rl_cfg import RslRlOnPolicyRunnerCfg
 
@@ -46,6 +52,7 @@ class TrainState(NamedTuple):
     critic_normalizer: NormalizerState
     key: jnp.ndarray
     iteration: jnp.ndarray
+    carry: object = ()  # recurrent policies: RecurrentCarry pytree, else ()
 
 
 class OnPolicyRunner:
@@ -65,15 +72,36 @@ class OnPolicyRunner:
         self.num_envs = uenv.num_envs
         self.num_steps = int(train_cfg.num_steps_per_env)
 
-        # obs dims from the env's manager (policy + optional critic group)
-        om = uenv.observation_manager
-        self.obs_dim = om.group_obs_dim("policy")[0]
-        self.separate_critic = "critic" in om.group_names()
-        self.critic_group = "critic" if self.separate_critic else "policy"
-        self.critic_obs_dim = om.group_obs_dim(self.critic_group)[0]
-        self.num_actions = uenv.action_manager.total_action_dim
+        # obs/action dims: manager-based envs expose managers; direct envs
+        # expose num_observations/num_states/num_actions (direct_rl_env.py)
+        self._is_manager_based = hasattr(uenv, "observation_manager")
+        if self._is_manager_based:
+            om = uenv.observation_manager
+            self.obs_dim = om.group_obs_dim("policy")[0]
+            self.separate_critic = "critic" in om.group_names()
+            self.critic_obs_dim = om.group_obs_dim(
+                "critic" if self.separate_critic else "policy"
+            )[0]
+            self.num_actions = uenv.action_manager.total_action_dim
+        else:
+            self.obs_dim = uenv.num_observations
+            self.separate_critic = getattr(uenv, "num_states", 0) > 0
+            self.critic_obs_dim = (
+                uenv.num_states if self.separate_critic else self.obs_dim
+            )
+            self.num_actions = uenv.num_actions
 
-        if self.policy_cfg.class_name == "ActorCriticCascade":
+        self.recurrent = self.policy_cfg.class_name == "ActorCriticRecurrent"
+        if self.recurrent:
+            self.net = ActorCriticRecurrent(
+                num_actions=self.num_actions,
+                actor_dims=tuple(self.policy_cfg.actor_hidden_dims),
+                critic_dims=tuple(self.policy_cfg.critic_hidden_dims),
+                hidden_size=getattr(self.policy_cfg, "rnn_hidden_size", 256),
+                activation=self.policy_cfg.activation,
+                init_noise_std=self.policy_cfg.init_noise_std,
+            )
+        elif self.policy_cfg.class_name == "ActorCriticCascade":
             self.net = ActorCriticCascade(
                 num_actions=self.num_actions,
                 actor_dims=tuple(self.policy_cfg.actor_hidden_dims),
@@ -97,8 +125,71 @@ class OnPolicyRunner:
         self.state: TrainState | None = None
 
     # ------------------------------------------------------------------
+    # Env adapter: manager-based vs direct
+    # ------------------------------------------------------------------
+    def _env_reset(self, key):
+        """Returns (env_state, obs, critic_obs|None)."""
+        uenv = self.env.unwrapped
+        k_env, k_obs = jax.random.split(key)
+        env_state = uenv.init_state(k_env)
+        if self._is_manager_based:
+            ctx = uenv.make_context(env_state)
+            obs_dict, obs_state = uenv.observation_manager.compute(
+                ctx, env_state.obs, k_obs
+            )
+            env_state = env_state._replace(obs=obs_state)
+        else:
+            obs_dict = uenv._get_observations(env_state)
+        obs = obs_dict["policy"]
+        critic_obs = obs_dict["critic"] if self.separate_critic else None
+        return env_state, obs, critic_obs
+
+    def _env_step(self, env_state, action):
+        """Returns (env_state, obs, critic_obs|None, reward, term, to, log)."""
+        uenv = self.env.unwrapped
+        env_state, (obs_d, reward, terminated, time_outs, extras) = (
+            uenv.step_state(env_state, action)
+        )
+        obs = obs_d["policy"]
+        critic_obs = obs_d["critic"] if self.separate_critic else None
+        return (
+            env_state, obs, critic_obs, reward, terminated, time_outs,
+            extras.get("log", {}),
+        )
+
+    # ------------------------------------------------------------------
     def _apply(self, params, obs, critic_obs):
         return self.net.apply(params, obs, critic_obs)
+
+    def _apply_seq(self, params, obs, critic_obs, carry0, dones):
+        """Replay a (T, E, D) sequence through the recurrent net, resetting
+        the carry where ``dones`` (T, E) is set — mirrors the rollout."""
+
+        def step(carry, inp):
+            o, co, d = inp
+            mean, log_std, value, carry = self.net.apply(params, o, carry, co)
+            carry = jax.tree.map(
+                lambda c: jnp.where(d[:, None], 0.0, c), carry
+            )
+            return carry, (mean, log_std, value)
+
+        _, (mean, log_std, value) = jax.lax.scan(
+            step, carry0, (obs, critic_obs, dones)
+        )
+        # log_std is a per-parameter (A,) vector that scan stacked to (T, A);
+        # reshape so it broadcasts against (T, E, A)
+        return mean, log_std[:, None, :], value
+
+    def _cascade_aux_loss(self, params, mb):
+        """PPOCA cascade loss (fork rl_cfg.py:166-170): regularize the
+        stage-2 correction so stage-1 stays a usable standalone policy."""
+        coef = getattr(self.alg_cfg, "cascade_loss_coef", 0.0)
+        _, inter = self.net.apply(
+            params, mb.obs, mb.critic_obs,
+            capture_intermediates=lambda mdl, _: mdl.name == "stage2",
+        )
+        delta = jax.tree.leaves(inter["intermediates"])[0]
+        return coef * jnp.mean(jnp.square(delta))
 
     def init_train_state(self, seed: int | None = None) -> TrainState:
         seed = seed if seed is not None else self.cfg.seed
@@ -106,21 +197,16 @@ class OnPolicyRunner:
 
     def _init_train_state_from_key(self, key) -> TrainState:
         k_net, k_env, key = jax.random.split(key, 3)
-        uenv = self.env.unwrapped
-        env_state = uenv.init_state(k_env)
-        ctx = uenv.make_context(env_state)
-        k_obs, key = jax.random.split(key)
-        obs_dict, obs_state = uenv.observation_manager.compute(
-            ctx, env_state.obs, k_obs
-        )
-        env_state = env_state._replace(obs=obs_state)
-        obs = obs_dict["policy"]
-        # None when the critic shares the policy obs — avoids aliased buffers
-        # under donation (same array twice in the donated state pytree)
-        critic_obs = obs_dict["critic"] if self.separate_critic else None
-        params = self.net.init(
-            k_net, jnp.zeros((1, self.obs_dim)), jnp.zeros((1, self.critic_obs_dim))
-        )
+        env_state, obs, critic_obs = self._env_reset(k_env)
+        dummy_obs = jnp.zeros((1, self.obs_dim))
+        dummy_cobs = jnp.zeros((1, self.critic_obs_dim))
+        if self.recurrent:
+            carry = self.net.init_carry(self.num_envs)
+            c1 = self.net.init_carry(1)
+            params = self.net.init(k_net, dummy_obs, c1, dummy_cobs)
+        else:
+            carry = ()
+            params = self.net.init(k_net, dummy_obs, dummy_cobs)
         opt_state = self.optimizer.init(params)
         return TrainState(
             update=PPOUpdateState(
@@ -135,16 +221,16 @@ class OnPolicyRunner:
             critic_normalizer=NormalizerState.create(self.critic_obs_dim),
             key=key,
             iteration=jnp.asarray(0, dtype=jnp.int32),
+            carry=carry,
         )
 
     # ------------------------------------------------------------------
     def _rollout(self, state: TrainState):
         """num_steps x env.step_state under lax.scan; returns (T, E, ...)."""
-        uenv = self.env.unwrapped
         use_norm = self.cfg.empirical_normalization
 
-        def step(carry, _):
-            env_state, obs, critic_obs, key = carry
+        def step(carry_all, _):
+            env_state, obs, critic_obs, key, carry = carry_all
             cobs = critic_obs if self.separate_critic else obs
             key, k_act = jax.random.split(key)
             n_obs = normalize_obs(state.normalizer, obs) if use_norm else obs
@@ -153,19 +239,27 @@ class OnPolicyRunner:
                 if use_norm
                 else cobs
             )
-            mean, log_std, value = self._apply(
-                state.update.params, n_obs, n_cobs
-            )
+            if self.recurrent:
+                mean, log_std, value, new_carry = self.net.apply(
+                    state.update.params, n_obs, carry, n_cobs
+                )
+            else:
+                mean, log_std, value = self._apply(
+                    state.update.params, n_obs, n_cobs
+                )
+                new_carry = carry
             action = mean + jnp.exp(log_std) * jax.random.normal(
                 k_act, mean.shape
             )
             log_prob = gaussian_log_prob(mean, log_std, action)
-            env_state, (next_obs_d, reward, terminated, time_outs, extras) = (
-                uenv.step_state(env_state, action)
+            env_state, next_obs, next_cobs, reward, terminated, time_outs, log = (
+                self._env_step(env_state, action)
             )
-            next_obs = next_obs_d["policy"]
-            next_cobs = next_obs_d["critic"] if self.separate_critic else None
             done = terminated | time_outs
+            if self.recurrent:  # reset carry of done envs
+                new_carry = jax.tree.map(
+                    lambda c: jnp.where(done[:, None], 0.0, c), new_carry
+                )
             # rsl-rl: bootstrap value through time-outs
             reward_b = reward + self.alg_cfg.gamma * value * time_outs.astype(
                 jnp.float32
@@ -180,23 +274,25 @@ class OnPolicyRunner:
                 done=done,
                 time_out=time_outs,
             )
-            log = extras["log"]
-            return (env_state, next_obs, next_cobs, key), (trans, reward, log)
+            return (env_state, next_obs, next_cobs, key, new_carry), (
+                trans, reward, log,
+            )
 
-        (env_state, last_obs, last_cobs, key), (traj, raw_rewards, logs) = (
+        (env_state, last_obs, last_cobs, key, carry), (traj, raw_rewards, logs) = (
             jax.lax.scan(
                 step,
-                (state.env_state, state.last_obs, state.last_critic_obs, state.key),
+                (state.env_state, state.last_obs, state.last_critic_obs,
+                 state.key, state.carry),
                 None,
                 length=self.num_steps,
             )
         )
-        return env_state, last_obs, last_cobs, key, traj, raw_rewards, logs
+        return env_state, last_obs, last_cobs, key, carry, traj, raw_rewards, logs
 
     def _train_iteration(self, state: TrainState):
-        env_state, last_obs, last_cobs, key, traj, raw_rewards, logs = (
-            self._rollout(state)
-        )
+        init_carry = state.carry  # rollout-start carry, replayed in update
+        (env_state, last_obs, last_cobs, key, carry, traj, raw_rewards,
+         logs) = self._rollout(state)
         use_norm = self.cfg.empirical_normalization
         normalizer = state.normalizer
         critic_normalizer = state.critic_normalizer
@@ -211,25 +307,51 @@ class OnPolicyRunner:
             n_last_c = normalize_obs(critic_normalizer, last_c)
         else:
             n_last, n_last_c = last_obs, last_c
-        _, _, last_value = self._apply(state.update.params, n_last, n_last_c)
+        if self.recurrent:
+            _, _, last_value, _ = self.net.apply(
+                state.update.params, n_last, carry, n_last_c
+            )
+        else:
+            _, _, last_value = self._apply(state.update.params, n_last, n_last_c)
 
         advantages, returns = compute_gae(
             traj.reward, traj.value, traj.done, traj.time_out, last_value,
             self.alg_cfg.gamma, self.alg_cfg.lam,
         )
 
-        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), traj)
         key, k_up = jax.random.split(key)
-        update, metrics = ppo_update(
-            self._apply,
-            state.update,
-            self.optimizer,
-            flat,
-            advantages.reshape(-1),
-            returns.reshape(-1),
-            self.alg_cfg,
-            k_up,
-        )
+        if self.recurrent:
+            update, metrics = ppo_update_recurrent(
+                self._apply_seq,
+                state.update,
+                self.optimizer,
+                traj,
+                init_carry,
+                advantages,
+                returns,
+                self.alg_cfg,
+                k_up,
+            )
+        else:
+            flat = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), traj
+            )
+            aux_loss = (
+                self._cascade_aux_loss
+                if self.alg_cfg.class_name == "PPOCA"
+                else None
+            )
+            update, metrics = ppo_update(
+                self._apply,
+                state.update,
+                self.optimizer,
+                flat,
+                advantages.reshape(-1),
+                returns.reshape(-1),
+                self.alg_cfg,
+                k_up,
+                aux_loss_fn=aux_loss,
+            )
         metrics = dict(metrics)
         metrics["mean_reward_per_step"] = jnp.mean(raw_rewards)
         # scan-stacked env logs: average over the rollout
@@ -244,6 +366,7 @@ class OnPolicyRunner:
             critic_normalizer=critic_normalizer,
             key=key,
             iteration=state.iteration + 1,
+            carry=carry,
         )
         return new_state, metrics
 
@@ -335,6 +458,17 @@ class OnPolicyRunner:
         params = self.state.update.params
         norm = self.state.normalizer
         use_norm = self.cfg.empirical_normalization
+
+        if self.recurrent:
+            net = self.net
+
+            @jax.jit
+            def policy(obs, carry):
+                n_obs = normalize_obs(norm, obs) if use_norm else obs
+                mean, _, _, carry = net.apply(params, n_obs, carry, n_obs)
+                return mean, carry
+
+            return policy
 
         @jax.jit
         def policy(obs):

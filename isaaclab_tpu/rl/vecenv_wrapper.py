@@ -17,12 +17,19 @@ class RslRlVecEnvWrapper:
         self.clip_actions = clip_actions
         uenv = env.unwrapped
         self.num_envs = uenv.num_envs
-        self.num_actions = uenv.action_manager.total_action_dim
-        om = uenv.observation_manager
-        self.num_obs = om.group_obs_dim("policy")[0]
-        self.num_privileged_obs = (
-            om.group_obs_dim("critic")[0] if "critic" in om.group_names() else 0
-        )
+        if hasattr(uenv, "action_manager"):  # manager-based env
+            self.num_actions = uenv.action_manager.total_action_dim
+            om = uenv.observation_manager
+            self.num_obs = om.group_obs_dim("policy")[0]
+            self.num_privileged_obs = (
+                om.group_obs_dim("critic")[0]
+                if "critic" in om.group_names()
+                else 0
+            )
+        else:  # direct env (num_* attributes, direct_rl_env.py)
+            self.num_actions = uenv.num_actions
+            self.num_obs = uenv.num_observations
+            self.num_privileged_obs = getattr(uenv, "num_states", 0)
         self.max_episode_length = uenv.max_episode_length
         self.episode_length_buf = None
 

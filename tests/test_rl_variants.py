@@ -1,0 +1,135 @@
+"""Runner-variant coverage: recurrent (LSTM) PPO, cascade/PPOCA, and
+direct-workflow envs through the same OnPolicyRunner (the reference trains
+direct tasks like Isaac-Cartpole-Direct-v0 with the identical rsl-rl runner).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _manager_env(num_envs=32):
+    from isaaclab_tpu.envs import ManagerBasedRLEnv
+    from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_env_cfg import (
+        CartpoleEnvCfg,
+    )
+
+    cfg = CartpoleEnvCfg()
+    cfg.scene.num_envs = num_envs
+    return ManagerBasedRLEnv(cfg)
+
+
+def _runner(env, policy_cfg=None, algorithm_cfg=None, **kw):
+    from isaaclab_tpu.rl import OnPolicyRunner
+    from isaaclab_tpu.rl.rl_cfg import (
+        RslRlOnPolicyRunnerCfg,
+        RslRlPpoActorCriticCfg,
+        RslRlPpoAlgorithmCfg,
+    )
+
+    cfg = RslRlOnPolicyRunnerCfg(
+        num_steps_per_env=8,
+        max_iterations=2,
+        experiment_name="test",
+        policy=policy_cfg or RslRlPpoActorCriticCfg(
+            actor_hidden_dims=[32, 32], critic_hidden_dims=[32, 32]
+        ),
+        algorithm=algorithm_cfg or RslRlPpoAlgorithmCfg(
+            num_learning_epochs=2, num_mini_batches=2
+        ),
+        **kw,
+    )
+    return OnPolicyRunner(env, cfg, log_dir=None)
+
+
+class TestRecurrentPPO:
+    def test_train_iteration(self):
+        from isaaclab_tpu.rl.rl_cfg import RslRlPpoActorCriticRecurrentCfg
+
+        env = _manager_env()
+        runner = _runner(
+            env,
+            policy_cfg=RslRlPpoActorCriticRecurrentCfg(
+                actor_hidden_dims=[32],
+                critic_hidden_dims=[32],
+                rnn_hidden_size=32,
+            ),
+        )
+        assert runner.recurrent
+        state = runner.init_train_state(seed=0)
+        # carry is a RecurrentCarry pytree with (E, H) leaves
+        assert state.carry.actor[0].shape == (32, 32)
+        new_state, metrics = jax.jit(runner._train_iteration)(state)
+        assert np.isfinite(float(metrics["loss"]))
+        # second iteration continues from the carried state
+        new_state2, metrics2 = jax.jit(runner._train_iteration)(new_state)
+        assert np.isfinite(float(metrics2["loss"]))
+        assert int(new_state2.iteration) == 2
+
+    def test_inference_policy_carries(self):
+        from isaaclab_tpu.rl.rl_cfg import RslRlPpoActorCriticRecurrentCfg
+
+        env = _manager_env(num_envs=4)
+        runner = _runner(
+            env,
+            policy_cfg=RslRlPpoActorCriticRecurrentCfg(
+                actor_hidden_dims=[16],
+                critic_hidden_dims=[16],
+                rnn_hidden_size=16,
+            ),
+        )
+        runner.state = runner.init_train_state(seed=0)
+        policy = runner.get_inference_policy()
+        carry = runner.net.init_carry(4)
+        obs = jnp.ones((4, runner.obs_dim))
+        act, carry = policy(obs, carry)
+        assert act.shape == (4, runner.num_actions)
+        # carry actually advances (LSTM state is not identically zero)
+        act2, carry2 = policy(obs, carry)
+        assert not np.allclose(np.asarray(carry.actor[1]), 0.0)
+        assert not np.allclose(np.asarray(act), np.asarray(act2))
+
+
+class TestCascadePPOCA:
+    def test_train_iteration(self):
+        from isaaclab_tpu.rl.rl_cfg import (
+            RslRlPpoActorCriticCascadeCfg,
+            RslRlPpoCascadeAlgorithmCfg,
+        )
+
+        env = _manager_env()
+        runner = _runner(
+            env,
+            policy_cfg=RslRlPpoActorCriticCascadeCfg(
+                actor_hidden_dims=[32, 32],
+                critic_hidden_dims=[32, 32],
+                cascade_hidden_dims=[16],
+                cascade_obs_dim=2,
+            ),
+            algorithm_cfg=RslRlPpoCascadeAlgorithmCfg(
+                num_learning_epochs=2, num_mini_batches=2,
+                cascade_loss_coef=0.5,
+            ),
+        )
+        state = runner.init_train_state(seed=0)
+        new_state, metrics = jax.jit(runner._train_iteration)(state)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestDirectEnvRunner:
+    def test_direct_cartpole_trains(self):
+        from isaaclab_tpu.tasks.direct.cartpole.cartpole_env import (
+            CartpoleDirectEnv,
+            CartpoleDirectEnvCfg,
+        )
+
+        cfg = CartpoleDirectEnvCfg()
+        cfg.scene.num_envs = 32
+        env = CartpoleDirectEnv(cfg)
+        runner = _runner(env)
+        assert not runner._is_manager_based
+        state = runner.init_train_state(seed=0)
+        new_state, metrics = jax.jit(runner._train_iteration)(state)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["mean_reward_per_step"]))
