@@ -5,9 +5,18 @@ loaded from local URDF/MJCF (the reference points at Nucleus USDs).
 """
 
 from .ant import ANT_CFG  # noqa: F401
-from .anymal import ANYMAL_C_CFG, ANYMAL_D_CFG  # noqa: F401
+from .anymal import ANYMAL_B_CFG, ANYMAL_C_CFG, ANYMAL_D_CFG  # noqa: F401
+from .cassie import CASSIE_CFG  # noqa: F401
 from .cartpole import CARTPOLE_CFG  # noqa: F401
 from .franka import FRANKA_PANDA_CFG  # noqa: F401
 from .humanoid import HUMANOID_CFG  # noqa: F401
 from .quadcopter import CRAZYFLIE_CFG, UAVLIDAR_CFG  # noqa: F401
-from .unitree import UNITREE_A1_CFG, UNITREE_GO2_CFG  # noqa: F401
+from .spot import SPOT_CFG  # noqa: F401
+from .unitree import (  # noqa: F401
+    G1_CFG,
+    H1_CFG,
+    UNITREE_A1_CFG,
+    UNITREE_GO1_CFG,
+    UNITREE_GO2_CFG,
+)
+from .universal_robots import UR10_CFG  # noqa: F401

@@ -270,3 +270,196 @@ class NonHolonomicActionCfg(ActionTermCfg):
     yaw_joint_name: str = MISSING
     scale: tuple = (1.0, 1.0)
     offset: tuple = (0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Task-space actions (reference envs/mdp/actions/task_space_actions.py,
+# cfgs actions_cfg.py:218 DifferentialInverseKinematicsActionCfg and :254
+# OperationalSpaceControllerActionCfg). Jacobians/kinematics come from the
+# in-repo engine instead of a PhysX view.
+# ---------------------------------------------------------------------------
+
+
+class _TaskSpaceAction(ActionTerm):
+    """Shared machinery: ee body resolution, batched jacobian/pose/velocity
+    of the ee frame in the robot root frame."""
+
+    def __init__(self, cfg, env):
+        super().__init__(cfg, env)
+        ids, names = self._asset.find_joints(cfg.joint_names)
+        self._joint_ids = np.asarray(ids, dtype=np.int32)
+        self._joint_names = names
+        bids, bnames = self._asset.find_bodies(cfg.body_name)
+        if len(bids) != 1:
+            raise ValueError(
+                f"body_name '{cfg.body_name}' must match exactly one body, "
+                f"got {bnames}"
+            )
+        self._ee_body_world = self._asset.slice.body_start + int(bids[0])
+        # world dof columns of the selected joints
+        self._dof_cols = np.asarray(
+            self._asset.joint_v_indices()[self._joint_ids], dtype=np.int32
+        )
+        # the env handed to process_actions is a manager context view; keep
+        # the real InteractiveScene for kinematics/jacobians
+        self._scene = env.scene
+        off = getattr(cfg, "body_offset", None)
+        self._offset_pos = (
+            np.asarray(off.pos, dtype=np.float32) if off is not None else None
+        )
+        self._offset_rot = (
+            np.asarray(off.rot, dtype=np.float32) if off is not None else None
+        )
+
+    def _ee_state(self, env, scene_state):
+        """(ee_pos_b, ee_quat_b, ee_vel_w6[lin,ang], jacobian(E,6,n)[lin;ang])
+        — poses in the robot root frame (reference computes IK in base frame,
+        task_space_actions.py)."""
+        import jax as _jax
+
+        from ...physics.kinematics import body_jacobian, body_velocities_world
+        from ...utils import math as math_utils
+
+        scene = self._scene
+        model = scene.world_model
+        kin = scene.kinematics(scene_state)
+        b = self._ee_body_world
+        ee_pos_w = kin.body_pos_w[:, b]
+        ee_quat_w = kin.body_quat_w[:, b]
+
+        J = _jax.vmap(lambda k: body_jacobian(model, k, b))(kin)  # (E,6,nv)
+        vel = _jax.vmap(
+            lambda k, qd: body_velocities_world(model, k, qd)[b]
+        )(kin, scene_state.phys.qd)  # (E,6) [ang, lin]
+
+        if self._offset_pos is not None:
+            # shift ee frame by a body-fixed offset; jacobian linear rows and
+            # velocity move with the lever arm
+            r_w = math_utils.quat_apply(ee_quat_w, self._offset_pos)
+            ee_pos_w = ee_pos_w + r_w
+            ee_quat_w = math_utils.quat_mul(
+                ee_quat_w, jnp.broadcast_to(self._offset_rot, ee_quat_w.shape)
+            )
+            # lever-arm correction: J_lin_new = J_lin - [r]x J_ang
+            rx = math_utils.skew_symmetric_matrix(r_w)
+            Jlin = J[:, 3:6] - rx @ J[:, 0:3]
+            J = jnp.concatenate([J[:, 0:3], Jlin], axis=1)
+            vel = vel.at[:, 3:6].add(jnp.cross(vel[:, 0:3], r_w))
+
+        # root-frame pose (fixed-base robots: root == world up to env origin)
+        root_b = self._asset.root_body_index
+        root_pos = kin.body_pos_w[:, root_b]
+        root_quat = kin.body_quat_w[:, root_b]
+        ee_pos_r = math_utils.quat_rotate_inverse(root_quat, ee_pos_w - root_pos)
+        ee_quat_r = math_utils.quat_mul(
+            math_utils.quat_inv(root_quat), ee_quat_w
+        )
+        # select joint columns; reorder rows to [lin; ang] (controller layout)
+        J = J[:, :, self._dof_cols]
+        J = jnp.concatenate([J[:, 3:6], J[:, 0:3]], axis=1)
+        vel6 = jnp.concatenate([vel[:, 3:6], vel[:, 0:3]], axis=-1)
+        return ee_pos_r, ee_quat_r, vel6, J
+
+    def _write_joint_target(self, scene_state, target, setter):
+        est = scene_state.entities[self.cfg.asset_name]
+        est = setter(est, target, self._joint_ids)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+class DifferentialInverseKinematicsAction(_TaskSpaceAction):
+    """Task-space pose action resolved to joint position targets through the
+    differential-IK controller (reference task_space_actions.py
+    DifferentialInverseKinematicsAction)."""
+
+    def __init__(self, cfg, env):
+        super().__init__(cfg, env)
+        from ...controllers import DifferentialIKController
+
+        self._controller = DifferentialIKController(
+            cfg.controller, env.num_envs
+        )
+
+    @property
+    def action_dim(self):
+        return self._controller.action_dim
+
+    def process_actions(self, env, scene_state, actions):
+        if self.cfg.scale is not None:
+            actions = actions * jnp.asarray(self.cfg.scale)
+        ee_pos, ee_quat, _vel, J = self._ee_state(env, scene_state)
+        joint_pos = self._asset.joint_pos_from_world(scene_state.phys.q)[
+            :, self._joint_ids
+        ]
+        target = self._controller.compute(actions, ee_pos, ee_quat, J, joint_pos)
+        return self._write_joint_target(
+            scene_state, target, self._asset.set_joint_position_target
+        )
+
+
+class OperationalSpaceControllerAction(_TaskSpaceAction):
+    """Task-space impedance/wrench action resolved to joint efforts through
+    the OSC (reference task_space_actions.py OperationalSpaceControllerAction)."""
+
+    def __init__(self, cfg, env):
+        super().__init__(cfg, env)
+        from ...controllers import OperationalSpaceController
+
+        self._controller = OperationalSpaceController(
+            cfg.controller, env.num_envs
+        )
+
+    @property
+    def action_dim(self):
+        return self._controller.action_dim
+
+    def process_actions(self, env, scene_state, actions):
+        ee_pos, ee_quat, ee_vel, J = self._ee_state(env, scene_state)
+        joint_pos = self._asset.joint_pos_from_world(scene_state.phys.q)[
+            :, self._joint_ids
+        ]
+        joint_vel = self._asset.joint_vel_from_world(scene_state.phys.qd)[
+            :, self._joint_ids
+        ]
+        est = scene_state.entities[self.cfg.asset_name]
+        default_pos = est.default_joint_pos[:, self._joint_ids]
+        tau = self._controller.compute(
+            actions, ee_pos, ee_quat, ee_vel, J,
+            joint_pos=joint_pos, joint_vel=joint_vel,
+            default_joint_pos=default_pos,
+        )
+        return self._write_joint_target(
+            scene_state, tau, self._asset.set_joint_effort_target
+        )
+
+
+@configclass
+class BodyOffsetCfg:
+    """ee-frame offset from the named body (reference OffsetCfg)."""
+
+    pos: tuple = (0.0, 0.0, 0.0)
+    rot: tuple = (1.0, 0.0, 0.0, 0.0)
+
+
+@configclass
+class DifferentialInverseKinematicsActionCfg(ActionTermCfg):
+    """Reference actions_cfg.py:218."""
+
+    class_type: type = DifferentialInverseKinematicsAction
+    joint_names: list = MISSING
+    body_name: str = MISSING
+    body_offset: BodyOffsetCfg = None
+    scale: object = 1.0
+    controller: object = MISSING  # DifferentialIKControllerCfg
+
+
+@configclass
+class OperationalSpaceControllerActionCfg(ActionTermCfg):
+    """Reference actions_cfg.py:254."""
+
+    class_type: type = OperationalSpaceControllerAction
+    joint_names: list = MISSING
+    body_name: str = MISSING
+    body_offset: BodyOffsetCfg = None
+    controller: object = MISSING  # OperationalSpaceControllerCfg

@@ -1,0 +1,54 @@
+"""ANYmal-D velocity cfgs (reference ``velocity/config/anymal_d`` flat/rough cfgs)."""
+
+from isaaclab_tpu.assets_presets.anymal import ANYMAL_D_CFG
+from isaaclab_tpu.managers import SceneEntityCfg
+from isaaclab_tpu.terrains import TerrainImporterCfg
+from isaaclab_tpu.utils import configclass
+
+from ...velocity_env_cfg import LocomotionVelocityRoughEnvCfg
+
+
+@configclass
+class AnymalDRoughEnvCfg(LocomotionVelocityRoughEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.robot = ANYMAL_D_CFG
+        self.scene.height_scanner.prim_path = "robot/base"
+        self.rewards.feet_air_time.params["sensor_cfg"] = SceneEntityCfg(
+            "contact_forces", body_names=".*SHANK"
+        )
+        self.rewards.undesired_contacts.params["sensor_cfg"] = SceneEntityCfg(
+            "contact_forces", body_names=".*THIGH"
+        )
+        self.terminations.base_contact.params["sensor_cfg"] = SceneEntityCfg(
+            "contact_forces", body_names="base"
+        )
+
+
+@configclass
+class AnymalDFlatEnvCfg(AnymalDRoughEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.terrain = TerrainImporterCfg(terrain_type="plane")
+        self.scene.height_scanner = None
+        self.observations.policy.height_scan = None
+        self.curriculum.terrain_levels = None
+        self.rewards.flat_orientation_l2.weight = -5.0
+
+
+@configclass
+class AnymalDRoughEnvCfg_PLAY(AnymalDRoughEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+        self.events.push_robot = None
+
+
+@configclass
+class AnymalDFlatEnvCfg_PLAY(AnymalDFlatEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+        self.events.push_robot = None

@@ -1,0 +1,60 @@
+"""Boston Dynamics Spot velocity cfgs (reference ``velocity/config/spot`` flat/rough cfgs)."""
+
+from isaaclab_tpu.assets_presets.spot import SPOT_CFG
+from isaaclab_tpu.managers import SceneEntityCfg
+from isaaclab_tpu.terrains import TerrainImporterCfg
+from isaaclab_tpu.utils import configclass
+
+from ...velocity_env_cfg import LocomotionVelocityRoughEnvCfg
+
+
+@configclass
+class SpotRoughEnvCfg(LocomotionVelocityRoughEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.robot = SPOT_CFG
+        self.scene.height_scanner.prim_path = "robot/body"
+        self.rewards.feet_air_time.params["sensor_cfg"] = SceneEntityCfg(
+            "contact_forces", body_names=".*_lleg"
+        )
+        self.rewards.undesired_contacts.params["sensor_cfg"] = SceneEntityCfg(
+            "contact_forces", body_names=".*_uleg"
+        )
+        self.events.add_base_mass.params["asset_cfg"] = SceneEntityCfg(
+            "robot", body_names="body"
+        )
+        self.events.base_external_force_torque.params["asset_cfg"] = SceneEntityCfg(
+            "robot", body_names="body"
+        )
+        self.terminations.base_contact.params["sensor_cfg"] = SceneEntityCfg(
+            "contact_forces", body_names="body"
+        )
+
+
+@configclass
+class SpotFlatEnvCfg(SpotRoughEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.terrain = TerrainImporterCfg(terrain_type="plane")
+        self.scene.height_scanner = None
+        self.observations.policy.height_scan = None
+        self.curriculum.terrain_levels = None
+        self.rewards.flat_orientation_l2.weight = -5.0
+
+
+@configclass
+class SpotRoughEnvCfg_PLAY(SpotRoughEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+        self.events.push_robot = None
+
+
+@configclass
+class SpotFlatEnvCfg_PLAY(SpotFlatEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+        self.events.push_robot = None

@@ -1,6 +1,6 @@
-"""Go2 velocity cfgs (reference velocity/config/go2 flat/rough cfgs)."""
+"""Unitree Go1 velocity cfgs (reference ``velocity/config/go1`` flat/rough cfgs)."""
 
-from isaaclab_tpu.assets_presets.unitree import UNITREE_GO2_CFG
+from isaaclab_tpu.assets_presets.unitree import UNITREE_GO1_CFG
 from isaaclab_tpu.managers import SceneEntityCfg
 from isaaclab_tpu.terrains import TerrainImporterCfg
 from isaaclab_tpu.utils import configclass
@@ -9,12 +9,11 @@ from ...velocity_env_cfg import LocomotionVelocityRoughEnvCfg
 
 
 @configclass
-class Go2RoughEnvCfg(LocomotionVelocityRoughEnvCfg):
+class UnitreeGo1RoughEnvCfg(LocomotionVelocityRoughEnvCfg):
     def __post_init__(self):
         super().__post_init__()
-        self.scene.robot = UNITREE_GO2_CFG
+        self.scene.robot = UNITREE_GO1_CFG
         self.scene.height_scanner.prim_path = "robot/trunk"
-        # unitree body names differ from anymal
         self.rewards.feet_air_time.params["sensor_cfg"] = SceneEntityCfg(
             "contact_forces", body_names=".*_calf"
         )
@@ -33,7 +32,7 @@ class Go2RoughEnvCfg(LocomotionVelocityRoughEnvCfg):
 
 
 @configclass
-class Go2FlatEnvCfg(Go2RoughEnvCfg):
+class UnitreeGo1FlatEnvCfg(UnitreeGo1RoughEnvCfg):
     def __post_init__(self):
         super().__post_init__()
         self.scene.terrain = TerrainImporterCfg(terrain_type="plane")
@@ -41,3 +40,21 @@ class Go2FlatEnvCfg(Go2RoughEnvCfg):
         self.observations.policy.height_scan = None
         self.curriculum.terrain_levels = None
         self.rewards.flat_orientation_l2.weight = -5.0
+
+
+@configclass
+class UnitreeGo1RoughEnvCfg_PLAY(UnitreeGo1RoughEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+        self.events.push_robot = None
+
+
+@configclass
+class UnitreeGo1FlatEnvCfg_PLAY(UnitreeGo1FlatEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+        self.events.push_robot = None

@@ -3,6 +3,7 @@
 import gymnasium as gym
 
 from . import agents
+from .config_variants import FrankaLiftIKAbsEnvCfg, FrankaLiftIKRelEnvCfg
 from .lift_env_cfg import FrankaLiftEnvCfg
 
 gym.register(
@@ -11,6 +12,26 @@ gym.register(
     disable_env_checker=True,
     kwargs={
         "env_cfg_entry_point": FrankaLiftEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:LiftPPORunnerCfg",
+    },
+)
+
+gym.register(
+    id="Isaac-Lift-Cube-Franka-IK-Abs-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": FrankaLiftIKAbsEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:LiftPPORunnerCfg",
+    },
+)
+
+gym.register(
+    id="Isaac-Lift-Cube-Franka-IK-Rel-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": FrankaLiftIKRelEnvCfg,
         "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:LiftPPORunnerCfg",
     },
 )

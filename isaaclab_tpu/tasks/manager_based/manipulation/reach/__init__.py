@@ -3,6 +3,11 @@
 import gymnasium as gym
 
 from . import agents
+from .config_variants import (
+    FrankaReachIKRelEnvCfg,
+    FrankaReachOSCEnvCfg,
+    UR10ReachEnvCfg,
+)
 from .reach_env_cfg import FrankaReachEnvCfg
 
 gym.register(
@@ -11,6 +16,36 @@ gym.register(
     disable_env_checker=True,
     kwargs={
         "env_cfg_entry_point": FrankaReachEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:ReachPPORunnerCfg",
+    },
+)
+
+gym.register(
+    id="Isaac-Reach-Franka-IK-Rel-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": FrankaReachIKRelEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:ReachPPORunnerCfg",
+    },
+)
+
+gym.register(
+    id="Isaac-Reach-Franka-OSC-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": FrankaReachOSCEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:ReachPPORunnerCfg",
+    },
+)
+
+gym.register(
+    id="Isaac-Reach-UR10-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": UR10ReachEnvCfg,
         "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:ReachPPORunnerCfg",
     },
 )
