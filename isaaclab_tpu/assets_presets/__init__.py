@@ -20,3 +20,4 @@ from .unitree import (  # noqa: F401
     UNITREE_GO2_CFG,
 )
 from .universal_robots import UR10_CFG  # noqa: F401
+from .allegro import ALLEGRO_HAND_CFG  # noqa: F401

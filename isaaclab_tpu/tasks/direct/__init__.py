@@ -1,2 +1,13 @@
 """Direct-workflow task families (reference isaaclab_tasks/direct/)."""
-from . import cartpole, quadcopter, shadow_hand  # noqa: F401
+from . import (  # noqa: F401
+    allegro_hand,
+    ant,
+    anymal_c,
+    cart_double_pendulum,
+    cartpole,
+    franka_cabinet,
+    humanoid,
+    quadcopter,
+    shadow_hand,
+    shadow_hand_over,
+)

@@ -64,6 +64,17 @@ class ShadowHandEnvCfg(DirectRLEnvCfg):
         self.sim.dt = 1.0 / 120.0
 
 
+@configclass
+class ShadowHandOpenAIEnvCfg(ShadowHandEnvCfg):
+    """Reference OpenAI-style variant (direct/shadow_hand openai cfgs):
+    asymmetric actor-critic — the policy sees a reduced observation (poses,
+    no velocities), the critic sees the full state."""
+
+    asymmetric_obs: bool = True
+    success_tolerance: float = 0.4
+    act_moving_average: float = 0.3
+
+
 class ShadowHandEnv(DirectRLEnv):
     """Reference ``InHandManipulationEnv`` recast as pure hooks."""
 
@@ -76,6 +87,17 @@ class ShadowHandEnv(DirectRLEnv):
         self.num_hand_dofs = self._robot.num_joints
         self.cfg.action_space = self.num_hand_dofs
         self.num_actions = self.num_hand_dofs
+        # obs layout (see _get_observations): jp + jv + obj(13) + goal(4) +
+        # quat_diff(4) + actions
+        self._full_obs_dim = 3 * self.num_hand_dofs + 21
+        self._asymmetric = getattr(self.cfg, "asymmetric_obs", False)
+        if self._asymmetric:
+            # reduced policy obs: jp_scaled + obj pos/quat + goal + quat_diff
+            # + actions (no velocities — OpenAI observations)
+            self.num_observations = 2 * self.num_hand_dofs + 15
+            self.num_states = self._full_obs_dim
+        else:
+            self.num_observations = self._full_obs_dim
         import numpy as _np
 
         lo = _np.asarray(self._robot.model.dof_limit_lower, dtype=_np.float32)
@@ -126,7 +148,7 @@ class ShadowHandEnv(DirectRLEnv):
         quat_diff = math_utils.quat_mul(
             obj.root_quat_w, math_utils.quat_conjugate(goal)
         )
-        obs = jnp.concatenate(
+        full = jnp.concatenate(
             [
                 jp_scaled,
                 robot.joint_vel * 0.2,
@@ -140,7 +162,20 @@ class ShadowHandEnv(DirectRLEnv):
             ],
             axis=-1,
         )
-        return {"policy": obs}
+        if self._asymmetric:
+            reduced = jnp.concatenate(
+                [
+                    jp_scaled,
+                    obj.root_pos_w,
+                    obj.root_quat_w,
+                    goal,
+                    quat_diff,
+                    state.actions,
+                ],
+                axis=-1,
+            )
+            return {"policy": reduced, "critic": full}
+        return {"policy": full}
 
     def _rot_dist(self, state, obj):
         goal = state.user["goal_rot"]

@@ -36,6 +36,8 @@ def main():
         action = jax.random.uniform(k, (env.num_envs, A), minval=-1, maxval=1)
         out = env.step(action)
         rew = out[1]
+        if isinstance(rew, dict):  # MARL env: per-agent reward dict
+            rew = sum(rew.values())
         assert bool(np.all(np.isfinite(np.asarray(rew)))), f"non-finite reward at {i}"
     print(f"{args_cli.task}: {args_cli.num_steps} random steps OK")
     env.close()

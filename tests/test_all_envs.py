@@ -40,9 +40,12 @@ def _action_dim(env):
 
 
 def _rollout(env, seed, steps=5, scale=0.1):
-    """Jitted random-action rollout; returns stacked (obs, rew) trajectories."""
+    """Jitted random-action rollout; returns stacked (obs, rew) trajectories.
+    MARL envs (per-agent dicts) are flattened like the reference's
+    multi_agent_to_single_agent helper."""
     A = _action_dim(env)
     E = env.num_envs
+    marl = hasattr(env, "possible_agents")
 
     def run(key):
         state = env.init_state(key)
@@ -51,7 +54,16 @@ def _rollout(env, seed, steps=5, scale=0.1):
             st = carry
             act = scale * jax.random.normal(k, (E, A))
             st, (obs, rew, term, trunc, _extras) = env.step_state(st, act)
-            return st, (obs["policy"], rew, term, trunc)
+            if marl:
+                obs = jnp.concatenate(
+                    [obs[a] for a in env.possible_agents], axis=-1
+                )
+                rew = sum(rew[a] for a in env.possible_agents)
+                term = env._join_agent_dict(term)
+                trunc = env._join_agent_dict(trunc)
+            else:
+                obs = obs["policy"]
+            return st, (obs, rew, term, trunc)
 
         keys = jax.random.split(key, steps)
         _, traj = jax.lax.scan(body, state, keys)
