@@ -85,12 +85,22 @@ class DirectRLEnv(gym.Env):
         self.num_states = _space_dim(cfg.state_space)
         import numpy as _np
 
-        self.single_observation_space = gym.spaces.Dict(
-            {"policy": gym.spaces.Box(-_np.inf, _np.inf, (self.num_observations,))}
-        )
-        self.single_action_space = gym.spaces.Box(
-            -_np.inf, _np.inf, (self.num_actions,)
-        )
+        # honor real gymnasium space objects (the reference's space-showcase
+        # tasks exercise Box/Discrete/MultiDiscrete/Dict/Tuple spaces —
+        # direct_rl_env.py _configure_gym_env_spaces)
+        if isinstance(cfg.observation_space, gym.spaces.Space):
+            obs_space = cfg.observation_space
+        else:
+            obs_space = gym.spaces.Box(
+                -_np.inf, _np.inf, (self.num_observations,)
+            )
+        self.single_observation_space = gym.spaces.Dict({"policy": obs_space})
+        if isinstance(cfg.action_space, gym.spaces.Space):
+            self.single_action_space = cfg.action_space
+        else:
+            self.single_action_space = gym.spaces.Box(
+                -_np.inf, _np.inf, (self.num_actions,)
+            )
         self.observation_space = gym.vector.utils.batch_space(
             self.single_observation_space, self.num_envs
         )
@@ -303,6 +313,14 @@ class _DirectCtx:
 def _space_dim(space) -> int:
     if isinstance(space, int):
         return space
+    if isinstance(space, gym.spaces.Dict):
+        return sum(_space_dim(s) for s in space.spaces.values())
+    if isinstance(space, gym.spaces.Tuple):
+        return sum(_space_dim(s) for s in space.spaces)
+    if isinstance(space, gym.spaces.MultiDiscrete):
+        return len(space.nvec)
+    if isinstance(space, gym.spaces.Discrete):
+        return 1
     if hasattr(space, "shape") and space.shape is not None:
         out = 1
         for s in space.shape:

@@ -38,6 +38,10 @@ class RayCasterCfg(SensorBaseCfg):
     max_distance: float = 100.0
     drift_range: tuple = (0.0, 0.0)
     offset: RayCasterOffsetCfg = RayCasterOffsetCfg()
+    # TPU extension: also intersect the geoms of these scene entities
+    # analytically (the reference relies on RTX for dynamic geometry; here
+    # sphere/box/capsule primitives are closed-form)
+    track_entities: list = []
 
     def __post_init__(self):
         if self.class_type is None:
@@ -77,6 +81,22 @@ class RayCaster(SensorBase):
         self._ray_starts = np.asarray(starts, dtype=np.float32)
         self._ray_dirs = np.asarray(dirs, dtype=np.float32)
         self._world_body = self.body_id + self.entity.slice.body_start
+        # static geom list for analytic dynamic-geometry intersection
+        self._tracked_geoms = []
+        for name in cfg.track_entities:
+            ent = scene[name]
+            s = ent.slice
+            wm = ent.world_model
+            for g in wm.geoms[s.geom_start : s.geom_start + s.geom_count]:
+                self._tracked_geoms.append(
+                    (
+                        g.gtype,
+                        np.asarray(g.size, dtype=np.float32),
+                        int(g.body),
+                        np.asarray(g.pos, dtype=np.float32),
+                        np.asarray(g.quat, dtype=np.float32),
+                    )
+                )
 
     def init_state(self, num_envs: int) -> RayCasterState:
         return RayCasterState(
@@ -115,6 +135,18 @@ class RayCaster(SensorBase):
             )
         )(starts, dirs, offsets)
         dist = jnp.linalg.norm(hits - pos_w[:, None, :], axis=-1)
+        if self._tracked_geoms:
+            geoms = self._tracked_geoms
+            t_geom = jax.vmap(
+                lambda s, d, k: raycast_geoms(
+                    s, d, geoms, k, self.cfg.max_distance
+                )
+            )(starts, dirs, kin)
+            closer = t_geom < dist
+            dist = jnp.where(closer, t_geom, dist)
+            hits = jnp.where(
+                closer[..., None], starts + dirs * t_geom[..., None], hits
+            )
         return state._replace(
             ray_hits_w=hits, ray_distances=dist, pos_w=pos_w, quat_w=quat_w
         )
@@ -176,3 +208,95 @@ def raycast_height_field(starts, dirs, terrain, terrain_offset, max_distance,
     t_march = jnp.where(any_hit, 0.5 * (t_lo + t_hi), max_distance)
     t = jnp.where(vertical, t_vert, t_march)
     return starts + dirs * t[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Analytic ray-primitive intersection (the TPU-native replacement for casting
+# against dynamic meshes, which the reference's Warp BVH cannot do either —
+# RTX cameras covered dynamic geometry there; sphere/box/capsule suffice for
+# our programmatic models).
+# ---------------------------------------------------------------------------
+
+
+def _ray_sphere(o, d, center, radius, max_distance):
+    """(N,) first-hit t of rays (o + t d) against one sphere."""
+    oc = o - center[None]
+    b = jnp.sum(oc * d, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius**2
+    disc = b * b - c
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    valid = (disc >= 0.0) & (t > 1e-4)
+    return jnp.where(valid, t, max_distance)
+
+
+def _ray_box(o, d, pos, quat, half, max_distance):
+    """Slab test in the box frame."""
+    ol = math_utils.quat_apply_inverse(quat[None], o - pos[None])
+    dl = math_utils.quat_apply_inverse(quat[None], d)
+    inv = 1.0 / jnp.where(jnp.abs(dl) > 1e-9, dl, jnp.sign(dl) * 1e-9 + 1e-12)
+    t1 = (-half[None] - ol) * inv
+    t2 = (half[None] - ol) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    valid = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin > 1e-4)
+    return jnp.where(valid, tmin, max_distance)
+
+
+def _ray_capsule(o, d, pos, quat, radius, half_len, max_distance):
+    """Ray vs capsule with axis +z in the geom frame: cylinder body + caps."""
+    ol = math_utils.quat_apply_inverse(quat[None], o - pos[None])
+    dl = math_utils.quat_apply_inverse(quat[None], d)
+    # infinite cylinder x^2+y^2=r^2
+    a = dl[..., 0] ** 2 + dl[..., 1] ** 2
+    b = ol[..., 0] * dl[..., 0] + ol[..., 1] * dl[..., 1]
+    c = ol[..., 0] ** 2 + ol[..., 1] ** 2 - radius**2
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_cyl = (-b - sq) / jnp.where(a > 1e-12, a, 1e-12)
+    z_hit = ol[..., 2] + t_cyl * dl[..., 2]
+    cyl_ok = (disc >= 0) & (t_cyl > 1e-4) & (jnp.abs(z_hit) <= half_len)
+    t_cyl = jnp.where(cyl_ok, t_cyl, max_distance)
+    # end caps = spheres at +-half_len z
+    cap_t = max_distance
+    for sz in (-1.0, 1.0):
+        cc = jnp.array([0.0, 0.0, sz * half_len])
+        oc = ol - cc[None]
+        bb = jnp.sum(oc * dl, axis=-1)
+        ccv = jnp.sum(oc * oc, axis=-1) - radius**2
+        dd = bb * bb - ccv
+        tt = -bb - jnp.sqrt(jnp.maximum(dd, 0.0))
+        ok = (dd >= 0) & (tt > 1e-4)
+        cap_t = jnp.minimum(cap_t, jnp.where(ok, tt, max_distance))
+    return jnp.minimum(t_cyl, cap_t)
+
+
+def raycast_geoms(starts, dirs, geoms, kin, max_distance):
+    """Min-hit distance of (N,3) rays against a static list of geoms whose
+    bodies move (one env; vmap outside). ``geoms`` is a host-side list of
+    (gtype, size, body, pos, quat) tuples; unrolled at trace time like the
+    collision pipeline's candidate sets."""
+    from ..physics.model import GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE
+
+    t_best = jnp.full(starts.shape[0], max_distance)
+    for gtype, size, body, gpos, gquat in geoms:
+        bp = kin.body_pos_w[body]
+        bq = kin.body_quat_w[body]
+        pos = bp + math_utils.quat_apply(bq, jnp.asarray(gpos))
+        quat = math_utils.quat_mul(bq, jnp.asarray(gquat))
+        if gtype == GEOM_SPHERE:
+            t = _ray_sphere(starts, dirs, pos, float(size[0]), max_distance)
+        elif gtype == GEOM_BOX:
+            t = _ray_box(
+                starts, dirs, pos, quat,
+                jnp.asarray(np.asarray(size[:3], dtype=np.float32)),
+                max_distance,
+            )
+        elif gtype in (GEOM_CAPSULE, GEOM_CYLINDER):
+            t = _ray_capsule(
+                starts, dirs, pos, quat, float(size[0]), float(size[1]),
+                max_distance,
+            )
+        else:
+            continue
+        t_best = jnp.minimum(t_best, t)
+    return t_best

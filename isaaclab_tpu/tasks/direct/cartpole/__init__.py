@@ -15,3 +15,48 @@ gym.register(
         ),
     },
 )
+
+from .cartpole_camera_env import (  # noqa: E402
+    CartpoleDepthCameraDirectEnv,
+    CartpoleDepthCameraDirectEnvCfg,
+)
+
+gym.register(
+    id="Isaac-Cartpole-Depth-Camera-Direct-v0",
+    entry_point=(
+        "isaaclab_tpu.tasks.direct.cartpole.cartpole_camera_env:"
+        "CartpoleDepthCameraDirectEnv"
+    ),
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": CartpoleDepthCameraDirectEnvCfg,
+        "rsl_rl_cfg_entry_point": (
+            f"{__name__}.agents.rsl_rl_ppo_cfg:CartpoleDirectPPORunnerCfg"
+        ),
+    },
+)
+
+from .cartpole_showcase_env import (  # noqa: E402
+    CartpoleShowcaseEnv,
+    CartpoleShowcaseEnvCfg,
+)
+
+for _obs, _act in (
+    ("Box", "Box"),
+    ("Box", "Discrete"),
+    ("Box", "MultiDiscrete"),
+    ("Dict", "Box"),
+    ("Tuple", "Box"),
+):
+    _cfg = CartpoleShowcaseEnvCfg(
+        obs_mode=_obs.lower(), act_mode=_act.lower()
+    )
+    gym.register(
+        id=f"Isaac-Cartpole-Showcase-{_obs}-{_act}-Direct-v0",
+        entry_point=(
+            "isaaclab_tpu.tasks.direct.cartpole.cartpole_showcase_env:"
+            "CartpoleShowcaseEnv"
+        ),
+        disable_env_checker=True,
+        kwargs={"env_cfg_entry_point": _cfg},
+    )

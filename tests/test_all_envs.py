@@ -63,6 +63,11 @@ def _rollout(env, seed, steps=5, scale=0.1):
                 trunc = env._join_agent_dict(trunc)
             else:
                 obs = obs["policy"]
+                if not hasattr(obs, "shape"):  # Dict/Tuple showcase spaces
+                    obs = jnp.concatenate(
+                        [l.reshape(l.shape[0], -1) for l in jax.tree.leaves(obs)],
+                        axis=-1,
+                    )
             return st, (obs, rew, term, trunc)
 
         keys = jax.random.split(key, steps)
