@@ -98,15 +98,21 @@ class ActorCriticRecurrent(nn.Module):
 
 
 class ActorCriticCascade(nn.Module):
-    """Fork's cascade actor (reference rl_cfg.py:22-34 ActorCriticCascade):
-    stage-1 MLP on the base obs produces a latent; stage-2 head refines the
-    action from (latent, cascade obs slice)."""
+    """Fork's cascade actor (reference rl_cfg.py:22-52
+    RslRlPpoActorCriticCascadeCfg): the observation is partitioned
+    ``[lidar | state1 | state2]``; mlp1 maps (lidar, state1) to a small
+    guidance vector (mlp1_out_dim, e.g. a 3d direction), mlp2 maps
+    (guidance, state2) to the action. Used by the fork's GuideCa UAV task."""
 
     num_actions: int
-    actor_dims: tuple = (256, 256)
-    critic_dims: tuple = (256, 256)
-    cascade_dims: tuple = (128, 64)
-    cascade_obs_dim: int = 0
+    lidar_input_dim: int = 0
+    mlp1_state_dim: int = 0
+    mlp2_state_dim: int = 0
+    mlp1_dims: tuple = (128, 64)
+    mlp2_dims: tuple = (256, 128, 64)
+    mlp1_out_dim: int = 3
+    mlp2_out_dim: int = 64
+    critic_dims: tuple = (512, 256, 128, 64)
     activation: str = "elu"
     init_noise_std: float = 1.0
 
@@ -114,19 +120,19 @@ class ActorCriticCascade(nn.Module):
     def __call__(self, obs, critic_obs=None):
         critic_obs = critic_obs if critic_obs is not None else obs
         a = _ACT[self.activation]
-        x = obs
-        for d in self.actor_dims:
+        L, s1, s2 = self.lidar_input_dim, self.mlp1_state_dim, self.mlp2_state_dim
+        lidar = obs[..., :L]
+        state1 = obs[..., L : L + s1]
+        state2 = obs[..., L + s1 : L + s1 + s2]
+        x = jnp.concatenate([lidar, state1], axis=-1)
+        for d in self.mlp1_dims:
             x = a(nn.Dense(d)(x))
-        latent = x
-        stage1 = nn.Dense(self.num_actions, name="stage1")(latent)
-        cascade_in = jnp.concatenate(
-            [latent, obs[..., : self.cascade_obs_dim], stage1], axis=-1
-        )
-        y = cascade_in
-        for d in self.cascade_dims:
+        guide = nn.Dense(self.mlp1_out_dim, name="mlp1_out")(x)
+        y = jnp.concatenate([guide, state2], axis=-1)
+        for d in self.mlp2_dims:
             y = a(nn.Dense(d)(y))
-        delta = nn.Dense(self.num_actions, name="stage2")(y)
-        mean = stage1 + delta
+        y = a(nn.Dense(self.mlp2_out_dim)(y))
+        mean = nn.Dense(self.num_actions, name="action_head")(y)
         value = MLP(self.critic_dims, 1, self.activation, name="critic")(
             critic_obs
         )[..., 0]

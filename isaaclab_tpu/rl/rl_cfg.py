@@ -36,12 +36,18 @@ class RslRlPpoActorCriticRecurrentCfg(RslRlPpoActorCriticCfg):
 
 @configclass
 class RslRlPpoActorCriticCascadeCfg(RslRlPpoActorCriticCfg):
-    """Fork addition (reference rl_cfg.py:22-34): cascade actor whose second
-    stage consumes the first stage's latent + a privileged obs subset."""
+    """Fork addition (reference rl_cfg.py:22-52): two-stage cascade actor —
+    mlp1 (lidar + state1 -> guidance vector), mlp2 (guidance + state2 ->
+    action). The obs is partitioned ``[lidar | state1 | state2]``."""
 
     class_name: str = "ActorCriticCascade"
-    cascade_hidden_dims: list = [128, 64]
-    cascade_obs_dim: int = 0
+    lidar_input_dim: int = 0
+    mlp1_state_dim: int = 0
+    mlp2_state_dim: int = 0
+    mlp1_hidden_dims: list = [128, 64]
+    mlp2_hidden_dims: list = [256, 128, 64]
+    mlp1_out_dim: int = 3
+    mlp2_out_dim: int = 64
 
 
 @configclass
@@ -66,10 +72,15 @@ class RslRlPpoAlgorithmCfg:
 
 @configclass
 class RslRlPpoCascadeAlgorithmCfg(RslRlPpoAlgorithmCfg):
-    """Fork's PPOCA variant (reference rl_cfg.py:166-170)."""
+    """Fork's PPOCA variant (reference rl_cfg.py:166-170; fork also names it
+    RslRlPpoCaAlgorithmCfg)."""
 
     class_name: str = "PPOCA"
     cascade_loss_coef: float = 1.0
+
+
+# fork alias (reference agents import the Ca spelling)
+RslRlPpoCaAlgorithmCfg = RslRlPpoCascadeAlgorithmCfg
 
 
 @configclass

@@ -104,10 +104,14 @@ class OnPolicyRunner:
         elif self.policy_cfg.class_name == "ActorCriticCascade":
             self.net = ActorCriticCascade(
                 num_actions=self.num_actions,
-                actor_dims=tuple(self.policy_cfg.actor_hidden_dims),
+                lidar_input_dim=self.policy_cfg.lidar_input_dim,
+                mlp1_state_dim=self.policy_cfg.mlp1_state_dim,
+                mlp2_state_dim=self.policy_cfg.mlp2_state_dim,
+                mlp1_dims=tuple(self.policy_cfg.mlp1_hidden_dims),
+                mlp2_dims=tuple(self.policy_cfg.mlp2_hidden_dims),
+                mlp1_out_dim=self.policy_cfg.mlp1_out_dim,
+                mlp2_out_dim=self.policy_cfg.mlp2_out_dim,
                 critic_dims=tuple(self.policy_cfg.critic_hidden_dims),
-                cascade_dims=tuple(self.policy_cfg.cascade_hidden_dims),
-                cascade_obs_dim=self.policy_cfg.cascade_obs_dim,
                 activation=self.policy_cfg.activation,
                 init_noise_std=self.policy_cfg.init_noise_std,
             )
@@ -181,15 +185,18 @@ class OnPolicyRunner:
         return mean, log_std[:, None, :], value
 
     def _cascade_aux_loss(self, params, mb):
-        """PPOCA cascade loss (fork rl_cfg.py:166-170): regularize the
-        stage-2 correction so stage-1 stays a usable standalone policy."""
+        """PPOCA cascade loss (fork rl_cfg.py:166-170): keep the stage-1
+        guidance output a unit direction vector (the GuideCa design intent —
+        mlp1 emits a 3d guide that mlp2 consumes)."""
         coef = getattr(self.alg_cfg, "cascade_loss_coef", 0.0)
         _, inter = self.net.apply(
             params, mb.obs, mb.critic_obs,
-            capture_intermediates=lambda mdl, _: mdl.name == "stage2",
+            capture_intermediates=lambda mdl, _: mdl.name == "mlp1_out",
         )
-        delta = jax.tree.leaves(inter["intermediates"])[0]
-        return coef * jnp.mean(jnp.square(delta))
+        guide = jax.tree.leaves(inter["intermediates"])[0]
+        # safe norm: plain norm has a NaN gradient at exactly zero (the init)
+        norm = jnp.sqrt(jnp.sum(jnp.square(guide), axis=-1) + 1e-8)
+        return coef * jnp.mean(jnp.square(norm - 1.0))
 
     def init_train_state(self, seed: int | None = None) -> TrainState:
         seed = seed if seed is not None else self.cfg.seed

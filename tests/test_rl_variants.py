@@ -102,10 +102,14 @@ class TestCascadePPOCA:
         runner = _runner(
             env,
             policy_cfg=RslRlPpoActorCriticCascadeCfg(
-                actor_hidden_dims=[32, 32],
                 critic_hidden_dims=[32, 32],
-                cascade_hidden_dims=[16],
-                cascade_obs_dim=2,
+                lidar_input_dim=0,
+                mlp1_state_dim=2,
+                mlp2_state_dim=2,
+                mlp1_hidden_dims=[16],
+                mlp2_hidden_dims=[32],
+                mlp1_out_dim=3,
+                mlp2_out_dim=16,
             ),
             algorithm_cfg=RslRlPpoCascadeAlgorithmCfg(
                 num_learning_epochs=2, num_mini_batches=2,
