@@ -463,3 +463,94 @@ class OperationalSpaceControllerActionCfg(ActionTermCfg):
     body_name: str = MISSING
     body_offset: BodyOffsetCfg = None
     controller: object = MISSING  # OperationalSpaceControllerCfg
+
+
+class PreTrainedPolicyAction(ActionTerm):
+    """Hierarchical action (reference navigation mdp
+    ``PreTrainedPolicyActionCfg``): the RL action is a base-velocity command
+    consumed by a frozen pre-trained low-level locomotion policy that emits
+    joint-position targets.
+
+    The low-level observation is assembled inline with the velocity-task
+    layout (velocity_env_cfg.py policy group minus the height scan):
+    [lin_vel_b, ang_vel_b, gravity_b, command(3), joint_pos_rel,
+    joint_vel_rel, last_low_level_action]. The last action is recovered
+    statelessly from the previous joint targets.
+    """
+
+    def __init__(self, cfg, env):
+        super().__init__(cfg, env)
+        self._scene = env.scene
+        n = self._asset.num_joints
+        self._n_joints = n
+        self._ll_scale = float(cfg.low_level_action_scale)
+        obs_dim = 9 + 3 + 3 * n
+        from ...rl.networks import ActorCritic
+
+        self._net = ActorCritic(
+            num_actions=n,
+            actor_dims=tuple(cfg.policy_hidden_dims),
+            critic_dims=tuple(cfg.policy_hidden_dims),
+        )
+        import jax as _jax
+
+        params = self._net.init(
+            _jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)),
+            jnp.zeros((1, obs_dim)),
+        )
+        if cfg.policy_path:
+            from flax import serialization
+
+            with open(cfg.policy_path, "rb") as f:
+                payload = serialization.msgpack_restore(f.read())
+            params = payload["params"]
+        self._params = params
+
+    @property
+    def action_dim(self):
+        return 3  # (vx, vy, wz) command
+
+    def process_actions(self, env, scene_state, actions):
+        from ...physics.kinematics import forward_kinematics
+        from ...utils import math as math_utils
+
+        command = actions * jnp.asarray(self.cfg.scale)
+        asset = self._asset
+        est = scene_state.entities[self.cfg.asset_name]
+        kin = self._scene.kinematics(scene_state)
+        rb = asset.root_body_index
+        quat = kin.body_quat_w[:, rb]
+        qd = scene_state.phys.qd
+        vstart = asset.slice.v_start
+        ang_w = qd[:, vstart : vstart + 3]
+        lin_w = qd[:, vstart + 3 : vstart + 6]
+        lin_b = math_utils.quat_rotate_inverse(quat, lin_w)
+        ang_b = math_utils.quat_rotate_inverse(quat, ang_w)
+        grav = math_utils.quat_rotate_inverse(
+            quat, jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), lin_b.shape)
+        )
+        jp = asset.joint_pos_from_world(scene_state.phys.q)
+        jv = asset.joint_vel_from_world(qd)
+        last_ll = (est.joint_pos_target - est.default_joint_pos) / self._ll_scale
+        obs = jnp.concatenate(
+            [lin_b, ang_b, grav, command, jp - est.default_joint_pos, jv,
+             last_ll],
+            axis=-1,
+        )
+        mean, _, _ = self._net.apply(self._params, obs, obs)
+        target = est.default_joint_pos + self._ll_scale * mean
+        est = asset.set_joint_position_target(est, target)
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+@configclass
+class PreTrainedPolicyActionCfg(ActionTermCfg):
+    """Reference navigation/mdp/pre_trained_policy_action.py cfg."""
+
+    class_type: type = PreTrainedPolicyAction
+    policy_path: str = ""  # msgpack checkpoint from OnPolicyRunner.save
+    policy_hidden_dims: list = [128, 128, 128]
+    low_level_action_scale: float = 0.5
+    scale: tuple = (1.0, 1.0, 1.0)

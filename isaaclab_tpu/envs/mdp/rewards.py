@@ -355,3 +355,25 @@ def object_goal_distance(env, std: float, minimal_height: float,
     dist = jnp.linalg.norm(des_pos_w - obj.root_pos_w, axis=-1)
     lifted = obj.root_pos_w[:, 2] > minimal_height
     return lifted.astype(jnp.float32) * (1.0 - jnp.tanh(dist / std))
+
+
+# -- navigation (reference manager_based/navigation/mdp) --
+
+
+def position_command_error_tanh_2d(env, std: float, command_name: str,
+                                   asset_cfg: SceneEntityCfg = _DEFAULT):
+    """tanh-shaped xy-distance to a world-frame (x, y, heading) pose command
+    (reference navigation mdp position tracking)."""
+    data = env.scene[asset_cfg.name].data
+    cmd = env.command_manager.get_command(command_name)
+    err = jnp.linalg.norm(cmd[:, :2] - data.root_pos_w[:, :2], axis=-1)
+    return 1.0 - jnp.tanh(err / std)
+
+
+def heading_command_error_abs(env, command_name: str,
+                              asset_cfg: SceneEntityCfg = _DEFAULT):
+    """|heading error| against a world-frame pose-2d command
+    (reference navigation mdp heading tracking)."""
+    data = env.scene[asset_cfg.name].data
+    cmd = env.command_manager.get_command(command_name)
+    return jnp.abs(math_utils.wrap_to_pi(cmd[:, 2] - data.heading_w))

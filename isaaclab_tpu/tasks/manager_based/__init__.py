@@ -1,2 +1,2 @@
 """Manager-based task families (reference isaaclab_tasks/manager_based/)."""
-from . import classic, locomotion, manipulation  # noqa: F401
+from . import classic, locomotion, manipulation, navigation  # noqa: F401

@@ -12,3 +12,18 @@ from .height_field_terrains import (  # noqa: F401
 )
 from .terrain_generator import TerrainGenerator, TerrainGeneratorCfg  # noqa: F401
 from .terrain_importer import TerrainImporter, TerrainImporterCfg  # noqa: F401
+from .mesh_terrains import (  # noqa: F401
+    MeshBoxTerrainCfg,
+    MeshFloatingRingTerrainCfg,
+    MeshGapTerrainCfg,
+    MeshPitTerrainCfg,
+    MeshPlaneTerrainCfg,
+    MeshPyramidStairsTerrainCfg,
+    MeshRailsTerrainCfg,
+    MeshRandomGridTerrainCfg,
+    MeshRepeatedBoxesTerrainCfg,
+    MeshRepeatedCylindersTerrainCfg,
+    MeshRepeatedObjectsTerrainCfg,
+    MeshRepeatedPyramidsTerrainCfg,
+    MeshStarTerrainCfg,
+)

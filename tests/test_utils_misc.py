@@ -155,3 +155,50 @@ class TestModifiers:
         for _ in range(50):
             state, y = cfg.apply(state, x)
         np.testing.assert_allclose(y, 1.0, atol=1e-3)  # unity DC gain
+
+
+class TestMeshTerrains:
+    """Trimesh terrain family rasterized to height fields (reference
+    trimesh/mesh_terrains.py:23-721)."""
+
+    def test_all_mesh_terrains_generate(self):
+        import numpy as np
+
+        from isaaclab_tpu import terrains as T
+
+        cfgs = [
+            T.MeshPlaneTerrainCfg(),
+            T.MeshPyramidStairsTerrainCfg(),
+            T.MeshPyramidStairsTerrainCfg(inverted=True),
+            T.MeshRandomGridTerrainCfg(),
+            T.MeshRailsTerrainCfg(),
+            T.MeshPitTerrainCfg(),
+            T.MeshPitTerrainCfg(double_pit=True),
+            T.MeshBoxTerrainCfg(),
+            T.MeshGapTerrainCfg(),
+            T.MeshFloatingRingTerrainCfg(),
+            T.MeshStarTerrainCfg(),
+            T.MeshRepeatedPyramidsTerrainCfg(),
+            T.MeshRepeatedBoxesTerrainCfg(),
+            T.MeshRepeatedCylindersTerrainCfg(),
+        ]
+        for cfg in cfgs:
+            h = cfg.function(0.7, cfg, np.random.default_rng(1))
+            assert h.shape == (80, 80), type(cfg).__name__
+            assert np.all(np.isfinite(h)), type(cfg).__name__
+
+    def test_terrain_generator_accepts_mesh_terrains(self):
+        from isaaclab_tpu import terrains as T
+
+        gen_cfg = T.TerrainGeneratorCfg(
+            size=(8.0, 8.0), num_rows=2, num_cols=2,
+            horizontal_scale=0.1, vertical_scale=0.005,
+            sub_terrains={
+                "gap": T.MeshGapTerrainCfg(proportion=0.5),
+                "star": T.MeshStarTerrainCfg(proportion=0.5),
+            },
+        )
+        gen = T.TerrainGenerator(gen_cfg)
+        import numpy as np
+        assert gen.heights.shape == (160, 160)
+        assert np.all(np.isfinite(gen.heights))
