@@ -15,3 +15,12 @@ from .rigid_object import (  # noqa: F401
     RigidObjectEntityState,
     RigidObjectInitStateCfg,
 )
+from .rigid_object_collection import (  # noqa: F401
+    RigidObjectCollection,
+    RigidObjectCollectionCfg,
+)
+from .deformable_object import (  # noqa: F401
+    DeformableObject,
+    DeformableObjectCfg,
+    DeformableObjectData,
+)

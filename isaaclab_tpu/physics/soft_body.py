@@ -1,0 +1,153 @@
+"""XPBD particle soft bodies (the TPU-native replacement for PhysX FEM soft
+bodies used by ``DeformableObject``, reference assets/deformable_object/ +
+``physx.SoftBodyView``; SURVEY.md §2.4).
+
+Design: fixed-topology particle lattices with compliant distance constraints
+solved by Jacobi-style XPBD iterations — fully batched ``(E, P, 3)`` state,
+static constraint lists, no data-dependent shapes, so the whole step jits and
+vmaps. Ground contact is a projection with Coulomb friction. Rigid-soft
+two-way coupling is out of scope (the reference couples through PhysX's
+unified solver; here soft bodies interact with the terrain plane only).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SoftBodyModel(NamedTuple):
+    """Static particle-lattice description (host numpy)."""
+
+    rest_pos: np.ndarray  # (P, 3) in body frame
+    inv_mass: np.ndarray  # (P,)
+    edges: np.ndarray  # (C, 2) particle index pairs
+    rest_len: np.ndarray  # (C,)
+    compliance: np.ndarray  # (C,) XPBD alpha (m/N); 0 = rigid constraint
+    friction: float
+
+
+class SoftBodyState(NamedTuple):
+    pos: jnp.ndarray  # (E, P, 3) world
+    vel: jnp.ndarray  # (E, P, 3)
+    kinematic_target: jnp.ndarray  # (E, P, 4): xyz target + enable flag
+
+
+def make_soft_cube(size=(0.1, 0.1, 0.1), resolution=3, mass=0.1,
+                   youngs_modulus=5e4, friction=0.8) -> SoftBodyModel:
+    """Cubic particle lattice with structural + diagonal shear edges
+    (the mesh-free stand-in for the reference's FEM tet cube)."""
+    nx = ny = nz = int(resolution)
+    xs = np.linspace(-size[0] / 2, size[0] / 2, nx)
+    ys = np.linspace(-size[1] / 2, size[1] / 2, ny)
+    zs = np.linspace(-size[2] / 2, size[2] / 2, nz)
+    pts = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1).reshape(-1, 3)
+    P = pts.shape[0]
+    idx = np.arange(P).reshape(nx, ny, nz)
+    edges = set()
+
+    def add(a, b):
+        edges.add((min(a, b), max(a, b)))
+
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                a = idx[i, j, k]
+                for di, dj, dk in (
+                    (1, 0, 0), (0, 1, 0), (0, 0, 1),  # structural
+                    (1, 1, 0), (1, 0, 1), (0, 1, 1),  # face shear
+                    (1, -1, 0), (1, 0, -1), (0, 1, -1),
+                    (1, 1, 1), (1, 1, -1), (1, -1, 1), (1, -1, -1),  # volume
+                ):
+                    ii, jj, kk = i + di, j + dj, k + dk
+                    if 0 <= ii < nx and 0 <= jj < ny and 0 <= kk < nz:
+                        add(a, idx[ii, jj, kk])
+    edges = np.asarray(sorted(edges), dtype=np.int32)
+    rest_len = np.linalg.norm(pts[edges[:, 0]] - pts[edges[:, 1]], axis=-1)
+    # compliance from Young's modulus: alpha ~ 1 / (E * L) (per-edge spring)
+    compliance = 1.0 / (youngs_modulus * np.maximum(rest_len, 1e-6))
+    inv_mass = np.full(P, P / mass, dtype=np.float32)
+    return SoftBodyModel(
+        rest_pos=pts.astype(np.float32),
+        inv_mass=inv_mass.astype(np.float32),
+        edges=edges,
+        rest_len=rest_len.astype(np.float32),
+        compliance=compliance.astype(np.float32),
+        friction=float(friction),
+    )
+
+
+def init_soft_state(model: SoftBodyModel, num_envs: int, origin) -> SoftBodyState:
+    pos = jnp.asarray(model.rest_pos)[None] + jnp.asarray(origin)[None, None]
+    pos = jnp.tile(pos, (num_envs, 1, 1))
+    return SoftBodyState(
+        pos=pos,
+        vel=jnp.zeros_like(pos),
+        kinematic_target=jnp.concatenate(
+            [pos, jnp.zeros(pos.shape[:-1] + (1,))], axis=-1
+        ),
+    )
+
+
+def step_soft_body(model: SoftBodyModel, state: SoftBodyState, dt: float,
+                   gravity=(-0.0, 0.0, -9.81), iterations: int = 8,
+                   relaxation: float = 0.35) -> SoftBodyState:
+    """One XPBD substep: predict -> Jacobi constraint projection -> ground
+    contact -> velocity update. All shapes static; jit/vmap friendly."""
+    g = jnp.asarray(gravity)
+    inv_m = jnp.asarray(model.inv_mass)[None, :, None]  # (1, P, 1)
+    e0 = jnp.asarray(model.edges[:, 0])
+    e1 = jnp.asarray(model.edges[:, 1])
+    rest = jnp.asarray(model.rest_len)[None, :, None]
+    alpha = jnp.asarray(model.compliance)[None, :, None] / (dt * dt)
+
+    kin_on = state.kinematic_target[..., 3:4]
+    kin_pos = state.kinematic_target[..., 0:3]
+    inv_m_eff = inv_m * (1.0 - kin_on)
+
+    vel = state.vel + dt * g[None, None]
+    pred = state.pos + dt * vel
+    pred = jnp.where(kin_on > 0.5, kin_pos, pred)
+
+    def solve_iter(p, _):
+        d = p[:, e1] - p[:, e0]  # (E, C, 3)
+        length = jnp.linalg.norm(d + 1e-9, axis=-1, keepdims=True)
+        n = d / length
+        w0 = inv_m_eff[:, e0]
+        w1 = inv_m_eff[:, e1]
+        c = length - rest
+        lam = -c / (w0 + w1 + alpha + 1e-12)
+        dp0 = -lam * n * w0
+        dp1 = lam * n * w1
+        # Jacobi scatter-add with under-relaxation (stable under vmap)
+        corr = jnp.zeros_like(p)
+        corr = corr.at[:, e0].add(dp0)
+        corr = corr.at[:, e1].add(dp1)
+        return p + relaxation * corr, None
+
+    pred, _ = jax.lax.scan(solve_iter, pred, None, length=iterations)
+
+    # ground plane z=0 with Coulomb friction
+    below = pred[..., 2] < 0.0
+    # tangential displacement since last step, scaled by friction
+    disp = pred - state.pos
+    t_disp = disp.at[..., 2].set(0.0)
+    pen = jnp.maximum(-pred[..., 2], 0.0)[..., None]
+    friction_scale = jnp.minimum(
+        model.friction * pen / (jnp.linalg.norm(t_disp + 1e-9, axis=-1,
+                                                keepdims=True)), 1.0
+    )
+    pred = jnp.where(
+        below[..., None],
+        (pred - t_disp * friction_scale).at[..., 2].set(
+            jnp.maximum(pred[..., 2], 0.0)
+        ),
+        pred,
+    )
+
+    new_vel = (pred - state.pos) / dt
+    new_vel = jnp.where(kin_on > 0.5, 0.0, new_vel)
+    return state._replace(pos=pred, vel=new_vel)

@@ -77,6 +77,8 @@ class InteractiveScene:
         self.num_envs = int(cfg.num_envs)
         self.articulations: dict[str, Articulation] = {}
         self.rigid_objects: dict[str, RigidObject] = {}
+        self.rigid_object_collections: dict = {}
+        self.deformable_objects: dict = {}
         self.sensors: dict = {}
         self.extras: dict = {}
         self.terrain = None  # TerrainImporter, set if cfg has one
@@ -91,9 +93,24 @@ class InteractiveScene:
         terrain_cfg = None
         import dataclasses as _dc
 
+        from ..assets.deformable_object import (
+            DeformableObject,
+            DeformableObjectCfg,
+        )
+        from ..assets.rigid_object_collection import (
+            RigidObjectCollection,
+            RigidObjectCollectionCfg,
+        )
+
         for f in _dc.fields(cfg):
             name, value = f.name, getattr(cfg, f.name)
-            if isinstance(value, (ArticulationCfg, RigidObjectCfg)):
+            if isinstance(value, DeformableObjectCfg):
+                # deformables live in the XPBD particle engine, not the rigid
+                # world forest
+                self.deformable_objects[name] = DeformableObject(value)
+            elif isinstance(
+                value, (ArticulationCfg, RigidObjectCfg, RigidObjectCollectionCfg)
+            ):
                 entity_cfgs[name] = value
             elif isinstance(value, SensorBaseCfg):
                 sensor_cfgs[name] = value
@@ -107,7 +124,11 @@ class InteractiveScene:
         # --- build entity models ---
         models, names, facades = [], [], []
         for name, ecfg in entity_cfgs.items():
-            model = _resolve_model(ecfg.model)
+            model = (
+                _resolve_model(ecfg.model)
+                if not isinstance(ecfg, RigidObjectCollectionCfg)
+                else None
+            )
             if isinstance(ecfg, ArticulationCfg) and not model.floating_base:
                 # fixed-base world placement: bake cfg.init_state pose into
                 # the root joint frame (floating bases get it via q instead)
@@ -115,6 +136,11 @@ class InteractiveScene:
             if isinstance(ecfg, ArticulationCfg):
                 facade = Articulation(ecfg, model)
                 self.articulations[name] = facade
+            elif isinstance(ecfg, RigidObjectCollectionCfg):
+                facade = model  # RigidObjectCollection built below
+                facade = RigidObjectCollection.build(ecfg)
+                model = facade.model
+                self.rigid_object_collections[name] = facade
             else:
                 facade = RigidObject(ecfg, model)
                 self.rigid_objects[name] = facade
@@ -214,9 +240,16 @@ class InteractiveScene:
         entities = {}
         origins = self.env_origins
         for name in self._entity_names:
-            facade = self.articulations.get(name) or self.rigid_objects.get(name)
+            facade = (
+                self.articulations.get(name)
+                or self.rigid_objects.get(name)
+                or self.rigid_object_collections.get(name)
+            )
             est = facade.init_entity_state(E, origins)
             entities[name] = est
+
+        for name, soft in self.deformable_objects.items():
+            entities[name] = soft.init_entity_state(E, origins)
 
         state = SceneState(
             phys=phys, body_params=params, entities=entities, sensors={}
@@ -256,11 +289,18 @@ class InteractiveScene:
                     joint_vel_target=jnp.where(m, 0.0, est.joint_vel_target),
                     joint_effort_target=jnp.where(m, 0.0, est.joint_effort_target),
                 )
+            elif name in self.rigid_object_collections:
+                col = self.rigid_object_collections[name]
+                q, qd = col.reset_to_default(q, qd, est, env_mask)
             else:
                 obj = self.rigid_objects[name]
                 drs = est.default_root_state
                 q = obj.write_root_pose_to_sim(q, drs[:, 0:7], env_mask)
                 qd = obj.write_root_velocity_to_sim(q, qd, drs[:, 7:13], env_mask)
+        for name, soft in self.deformable_objects.items():
+            state.entities[name] = soft.reset_to_default(
+                state.entities[name], q.shape[0], self.env_origins, env_mask
+            )
         mask = (
             jnp.ones(q.shape[0], dtype=bool) if env_mask is None else env_mask
         )
@@ -327,7 +367,16 @@ class InteractiveScene:
             )
             return new_phys
 
-        new_phys = jax.vmap(one_env)(state.phys, drive, state.body_params, offsets)
+        if wm.nbody > 0:
+            new_phys = jax.vmap(one_env)(
+                state.phys, drive, state.body_params, offsets
+            )
+        else:  # soft-only scene: nothing rigid to solve
+            new_phys = state.phys
+        # XPBD soft bodies step alongside the rigid solve (one-way: terrain
+        # plane only; see physics/soft_body.py)
+        for name, soft in self.deformable_objects.items():
+            new_entities[name] = soft.step(new_entities[name], dt)
         return state._replace(phys=new_phys, entities=new_entities)
 
     # ------------------------------------------------------------------
@@ -342,7 +391,11 @@ class InteractiveScene:
         kin = self.kinematics(state)
         views = {}
         for name in self._entity_names:
-            facade = self.articulations.get(name) or self.rigid_objects.get(name)
+            facade = (
+                self.articulations.get(name)
+                or self.rigid_objects.get(name)
+                or self.rigid_object_collections.get(name)
+            )
             views[name] = facade.data(
                 kin, state.phys.q, state.phys.qd, state.phys.qd_prev,
                 state.entities[name], dt,
