@@ -473,3 +473,50 @@ def load_model_file(path: str, **kwargs) -> RobotModel:
     if ext in (".xml", ".mjcf"):
         return load_mjcf(path, **kwargs)
     raise ValueError(f"Unsupported model file: {path}")
+
+
+def load_obj_mesh(path: str):
+    """Minimal OBJ loader -> (verts (V,3) float32, tris (T,3) int32).
+
+    The reference's MeshConverter turns OBJ/STL into USD for PhysX
+    (sim/converters/mesh_converter.py); here meshes feed the native
+    height-field rasterizer (isaaclab_tpu/native)."""
+    import numpy as np
+
+    verts, tris = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    tris.append([idx[0], idx[k], idx[k + 1]])
+    return (
+        np.asarray(verts, dtype=np.float32),
+        np.asarray(tris, dtype=np.int32),
+    )
+
+
+class MeshConverter:
+    """API-parity shim over :func:`load_obj_mesh` + the native rasterizer
+    (reference sim/converters/mesh_converter.py)."""
+
+    def __init__(self, cfg=None):
+        self.cfg = cfg
+
+    @staticmethod
+    def to_heightfield(path: str, resolution: float = 0.1):
+        import numpy as np
+
+        from ..native import rasterize_mesh_to_heightfield
+
+        verts, tris = load_obj_mesh(path)
+        min_xy = verts[:, :2].min(axis=0)
+        max_xy = verts[:, :2].max(axis=0)
+        rows = max(int(np.ceil((max_xy[0] - min_xy[0]) / resolution)), 2)
+        cols = max(int(np.ceil((max_xy[1] - min_xy[1]) / resolution)), 2)
+        return rasterize_mesh_to_heightfield(
+            verts, tris, rows, cols, resolution,
+            float(min_xy[0]), float(min_xy[1]), fill=float(verts[:, 2].min()),
+        )

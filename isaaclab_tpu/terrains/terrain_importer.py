@@ -24,19 +24,55 @@ from .terrain_generator import TerrainGenerator, TerrainGeneratorCfg
 class TerrainImporterCfg:
     """Reference ``TerrainImporterCfg``."""
 
-    terrain_type: str = "plane"  # "plane" | "generator"
+    terrain_type: str = "plane"  # "plane" | "generator" | "mesh"
     terrain_generator: TerrainGeneratorCfg = None
     max_init_terrain_level: int = None
     env_spacing: float = 2.0
     physics_material: object = None
     visual_material: object = None
     debug_vis: bool = False
+    # terrain_type == "mesh": OBJ file rasterized to the runtime height field
+    # (reference imports USD meshes + Warp BVH; SURVEY.md §2.7 TPU note)
+    mesh_path: str = None
+    mesh_resolution: float = 0.1
 
 
 class TerrainImporter:
     def __init__(self, cfg: TerrainImporterCfg, num_envs: int):
         self.cfg = cfg
         self.num_envs = num_envs
+
+        if cfg.terrain_type == "mesh" and cfg.mesh_path:
+            from ..sim.converters import load_obj_mesh
+            from ..native import rasterize_mesh_to_heightfield
+
+            verts, tris = load_obj_mesh(cfg.mesh_path)
+            min_xy = verts[:, :2].min(axis=0)
+            max_xy = verts[:, :2].max(axis=0)
+            hs = float(cfg.mesh_resolution)
+            rows = max(int(np.ceil((max_xy[0] - min_xy[0]) / hs)), 2)
+            cols = max(int(np.ceil((max_xy[1] - min_xy[1]) / hs)), 2)
+            hf = rasterize_mesh_to_heightfield(
+                verts, tris, rows, cols, hs,
+                float(min_xy[0]), float(min_xy[1]),
+                fill=float(verts[:, 2].min()),
+            )
+            self.generator = None
+            self.height_field = HeightField(
+                heights=np.asarray(hf, dtype=np.float32),
+                horizontal_scale=hs,
+                origin=np.asarray(min_xy, dtype=np.float32),
+            )
+            center = (min_xy + max_xy) / 2
+            self.env_offsets = np.tile(
+                np.asarray([center[0], center[1], 0.0], dtype=np.float32),
+                (num_envs, 1),
+            )
+            self.env_origins = np.zeros((num_envs, 3), dtype=np.float32)
+            self.terrain_levels = np.zeros(num_envs, dtype=np.int32)
+            self.terrain_types = np.zeros(num_envs, dtype=np.int32)
+            self.max_terrain_level = 1
+            return
 
         if cfg.terrain_type == "plane" or cfg.terrain_generator is None:
             # host numpy: these become trace-time constants in jitted code
