@@ -8,13 +8,19 @@ from .networks import (  # noqa: F401
 )
 from .ppo import Transition, compute_gae, ppo_update  # noqa: F401
 from .rl_cfg import (  # noqa: F401
+    RslRlDistillationAlgorithmCfg,
+    RslRlDistillationStudentTeacherCfg,
     RslRlOnPolicyRunnerCfg,
     RslRlPpoActorCriticCascadeCfg,
     RslRlPpoActorCriticCfg,
     RslRlPpoActorCriticRecurrentCfg,
     RslRlPpoAlgorithmCfg,
+    RslRlPpoCaAlgorithmCfg,
     RslRlPpoCascadeAlgorithmCfg,
+    RslRlRndCfg,
+    RslRlSymmetryCfg,
 )
+from .distillation import DistillationRunner, DistillState  # noqa: F401
 from .runner import OnPolicyRunner, TrainState  # noqa: F401
 from .vecenv_wrapper import RslRlVecEnvWrapper  # noqa: F401
 from .adapters import (  # noqa: F401

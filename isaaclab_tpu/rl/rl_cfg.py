@@ -68,6 +68,8 @@ class RslRlPpoAlgorithmCfg:
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
     normalize_advantage_per_mini_batch: bool = False
+    rnd_cfg: object = None  # RslRlRndCfg | None
+    symmetry_cfg: object = None  # RslRlSymmetryCfg | None
 
 
 @configclass
@@ -101,3 +103,53 @@ class RslRlOnPolicyRunnerCfg:
     resume: bool = False
     load_run: str = ".*"
     load_checkpoint: str = "model_.*.pt"
+
+
+@configclass
+class RslRlRndCfg:
+    """Random Network Distillation exploration bonus (reference rsl-rl
+    RndCfg consumed via RslRlPpoAlgorithmCfg.rnd_cfg)."""
+
+    weight: float = 0.0  # intrinsic reward weight
+    learning_rate: float = 1e-3
+    num_outputs: int = 64  # embedding dim
+    predictor_hidden_dims: list = [128, 128]
+    target_hidden_dims: list = [128, 128]
+    # "constant" | "step": weight schedule (reference supports schedules;
+    # constant here)
+    weight_schedule: str = "constant"
+
+
+@configclass
+class RslRlSymmetryCfg:
+    """Symmetry-based data augmentation (reference rsl-rl SymmetryCfg).
+
+    ``data_augmentation_func(obs, actions, env) -> (obs_aug, act_aug)``
+    returns mirrored copies stacked on the batch axis."""
+
+    use_data_augmentation: bool = False
+    use_mirror_loss: bool = False
+    data_augmentation_func: object = None
+    mirror_loss_coeff: float = 0.0
+
+
+@configclass
+class RslRlDistillationAlgorithmCfg:
+    """Student-teacher distillation (reference rsl-rl Distillation cfg)."""
+
+    class_name: str = "Distillation"
+    num_learning_epochs: int = 1
+    learning_rate: float = 1e-3
+    gradient_length: int = 15
+    max_grad_norm: float = 1.0
+
+
+@configclass
+class RslRlDistillationStudentTeacherCfg:
+    """Reference ``RslRlDistillationStudentTeacherCfg``."""
+
+    class_name: str = "StudentTeacher"
+    init_noise_std: float = 0.1
+    student_hidden_dims: list = [256, 256, 128]
+    teacher_hidden_dims: list = [256, 256, 128]
+    activation: str = "elu"

@@ -53,6 +53,7 @@ class TrainState(NamedTuple):
     key: jnp.ndarray
     iteration: jnp.ndarray
     carry: object = ()  # recurrent policies: RecurrentCarry pytree, else ()
+    rnd: object = ()  # RND exploration state (params + opt), else ()
 
 
 class OnPolicyRunner:
@@ -124,6 +125,24 @@ class OnPolicyRunner:
                 init_noise_std=self.policy_cfg.init_noise_std,
             )
         self.optimizer = make_optimizer(self.alg_cfg)
+        # RND exploration bonus (reference rsl-rl rnd_cfg)
+        rnd_cfg = getattr(self.alg_cfg, "rnd_cfg", None)
+        self.rnd_cfg = rnd_cfg if (rnd_cfg and rnd_cfg.weight > 0) else None
+        if self.rnd_cfg:
+            import optax
+
+            from .networks import MLP
+
+            self._rnd_target = MLP(
+                tuple(self.rnd_cfg.target_hidden_dims),
+                self.rnd_cfg.num_outputs,
+            )
+            self._rnd_predictor = MLP(
+                tuple(self.rnd_cfg.predictor_hidden_dims),
+                self.rnd_cfg.num_outputs,
+            )
+            self._rnd_optimizer = optax.adam(self.rnd_cfg.learning_rate)
+        self.symmetry_cfg = getattr(self.alg_cfg, "symmetry_cfg", None)
         self._train_iter_fn = None
         self.writer = None
         self.state: TrainState | None = None
@@ -229,7 +248,26 @@ class OnPolicyRunner:
             key=key,
             iteration=jnp.asarray(0, dtype=jnp.int32),
             carry=carry,
+            rnd=self._init_rnd_state(k_net) if self.rnd_cfg else (),
         )
+
+    def _init_rnd_state(self, key):
+        import jax as _jax
+
+        k1, k2 = _jax.random.split(key)
+        dummy = jnp.zeros((1, self.obs_dim))
+        target = self._rnd_target.init(k1, dummy)
+        predictor = self._rnd_predictor.init(k2, dummy)
+        return {
+            "target": target,
+            "predictor": predictor,
+            "opt": self._rnd_optimizer.init(predictor),
+        }
+
+    def _intrinsic_reward(self, rnd, obs):
+        t = self._rnd_target.apply(rnd["target"], obs)
+        p = self._rnd_predictor.apply(rnd["predictor"], obs)
+        return self.rnd_cfg.weight * jnp.mean(jnp.square(t - p), axis=-1)
 
     # ------------------------------------------------------------------
     def _rollout(self, state: TrainState):
@@ -267,6 +305,8 @@ class OnPolicyRunner:
                 new_carry = jax.tree.map(
                     lambda c: jnp.where(done[:, None], 0.0, c), new_carry
                 )
+            if self.rnd_cfg:
+                reward = reward + self._intrinsic_reward(state.rnd, n_obs)
             # rsl-rl: bootstrap value through time-outs
             reward_b = reward + self.alg_cfg.gamma * value * time_outs.astype(
                 jnp.float32
@@ -343,22 +383,81 @@ class OnPolicyRunner:
             flat = jax.tree.map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), traj
             )
+            flat_adv = advantages.reshape(-1)
+            flat_ret = returns.reshape(-1)
+            sym = self.symmetry_cfg
+            if sym and sym.use_data_augmentation and sym.data_augmentation_func:
+                obs_aug, act_aug = sym.data_augmentation_func(
+                    flat.obs, flat.action, self.env
+                )
+                cobs_aug, _ = sym.data_augmentation_func(
+                    flat.critic_obs, flat.action, self.env
+                )
+                flat = Transition(
+                    obs=jnp.concatenate([flat.obs, obs_aug]),
+                    critic_obs=jnp.concatenate([flat.critic_obs, cobs_aug]),
+                    action=jnp.concatenate([flat.action, act_aug]),
+                    log_prob=jnp.tile(flat.log_prob, 2),
+                    value=jnp.tile(flat.value, 2),
+                    reward=jnp.tile(flat.reward, 2),
+                    done=jnp.tile(flat.done, 2),
+                    time_out=jnp.tile(flat.time_out, 2),
+                )
+                flat_adv = jnp.tile(flat_adv, 2)
+                flat_ret = jnp.tile(flat_ret, 2)
             aux_loss = (
                 self._cascade_aux_loss
                 if self.alg_cfg.class_name == "PPOCA"
                 else None
             )
+            if sym and sym.use_mirror_loss and sym.data_augmentation_func:
+                base_aux = aux_loss
+
+                def mirror_aux(params, mb, _base=base_aux, _sym=sym):
+                    mean, _, _ = self._apply(params, mb.obs, mb.critic_obs)
+                    obs_m, act_m = _sym.data_augmentation_func(
+                        mb.obs, mean, self.env
+                    )
+                    mean_m, _, _ = self._apply(params, obs_m, mb.critic_obs)
+                    loss = _sym.mirror_loss_coeff * jnp.mean(
+                        jnp.square(mean_m - act_m)
+                    )
+                    if _base is not None:
+                        loss = loss + _base(params, mb)
+                    return loss
+
+                aux_loss = mirror_aux
             update, metrics = ppo_update(
                 self._apply,
                 state.update,
                 self.optimizer,
                 flat,
-                advantages.reshape(-1),
-                returns.reshape(-1),
+                flat_adv,
+                flat_ret,
                 self.alg_cfg,
                 k_up,
                 aux_loss_fn=aux_loss,
             )
+        rnd = state.rnd
+        if self.rnd_cfg:
+            flat_obs = traj.obs.reshape((-1, traj.obs.shape[-1]))
+            target_emb = self._rnd_target.apply(rnd["target"], flat_obs)
+
+            def rnd_loss(pp):
+                pred = self._rnd_predictor.apply(pp, flat_obs)
+                return jnp.mean(jnp.square(pred - target_emb))
+
+            rl, grads = jax.value_and_grad(rnd_loss)(rnd["predictor"])
+            updates, opt = self._rnd_optimizer.update(grads, rnd["opt"])
+            import optax as _optax
+
+            rnd = {
+                "target": rnd["target"],
+                "predictor": _optax.apply_updates(rnd["predictor"], updates),
+                "opt": opt,
+            }
+            metrics = dict(metrics)
+            metrics["rnd_loss"] = rl
         metrics = dict(metrics)
         metrics["mean_reward_per_step"] = jnp.mean(raw_rewards)
         # scan-stacked env logs: average over the rollout
@@ -374,6 +473,7 @@ class OnPolicyRunner:
             key=key,
             iteration=state.iteration + 1,
             carry=carry,
+            rnd=rnd,
         )
         return new_state, metrics
 
