@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     anymal_c,
     cart_double_pendulum,
     cartpole,
+    factory,
     franka_cabinet,
     humanoid,
     quadcopter,
