@@ -20,6 +20,7 @@ from .rl_cfg import (  # noqa: F401
     RslRlRndCfg,
     RslRlSymmetryCfg,
 )
+from .amp import AmpCfg, AMPOnPolicyRunner  # noqa: F401
 from .distillation import DistillationRunner, DistillState  # noqa: F401
 from .runner import OnPolicyRunner, TrainState  # noqa: F401
 from .vecenv_wrapper import RslRlVecEnvWrapper  # noqa: F401

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     factory,
     franka_cabinet,
     humanoid,
+    humanoid_amp,
     quadcopter,
     shadow_hand,
     shadow_hand_over,

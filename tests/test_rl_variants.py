@@ -251,3 +251,41 @@ class TestDistillation:
             f"student failed to imitate: bc_loss "
             f"{float(first['bc_loss'])} -> {final}"
         )
+
+
+class TestAMP:
+    def test_amp_trains_and_style_reward_flows(self):
+        from isaaclab_tpu.rl import AmpCfg, AMPOnPolicyRunner
+        from isaaclab_tpu.rl.rl_cfg import (
+            RslRlOnPolicyRunnerCfg,
+            RslRlPpoActorCriticCfg,
+            RslRlPpoAlgorithmCfg,
+        )
+        from isaaclab_tpu.tasks.direct.humanoid_amp.humanoid_amp_env import (
+            HumanoidAmpEnv,
+            HumanoidAmpEnvCfg,
+        )
+
+        cfg = HumanoidAmpEnvCfg()
+        cfg.scene.num_envs = 8
+        env = HumanoidAmpEnv(cfg)
+        assert env.amp_observation_size == 2 * (2 * 19 + 7)
+        ref = env.collect_reference_motions(16)
+        assert ref.shape == (16, env.amp_observation_size)
+
+        runner_cfg = RslRlOnPolicyRunnerCfg(
+            num_steps_per_env=4, max_iterations=2, experiment_name="amp_test",
+            policy=RslRlPpoActorCriticCfg(
+                actor_hidden_dims=[32, 32], critic_hidden_dims=[32, 32]
+            ),
+            algorithm=RslRlPpoAlgorithmCfg(
+                num_learning_epochs=1, num_mini_batches=1
+            ),
+        )
+        runner = AMPOnPolicyRunner(
+            env, runner_cfg,
+            AmpCfg(discriminator_hidden_dims=[64], num_reference_batches=4),
+        )
+        state, metrics = runner.learn(2)
+        assert np.isfinite(float(metrics["disc_loss"]))
+        assert np.isfinite(float(metrics["style_reward"]))
