@@ -183,8 +183,10 @@ def step(
         tau_d = tau_d - params.damping * qd_arts
         tau = tau.at[jnp.asarray(model.dof_v_index)].add(tau_d)
 
-    H_chol = jax.scipy.linalg.cholesky(H, lower=True)
-    qdd_free = jax.scipy.linalg.cho_solve((H_chol, True), tau - C)
+    from .linalg import chol_factor, chol_solve
+
+    H_chol = chol_factor(H)
+    qdd_free = chol_solve(H_chol, tau - C)
     v_free = state.qd + dt * qdd_free
 
     contacts = plan.detect(kin, terrain, terrain_offset)
@@ -208,16 +210,19 @@ def step(
     q_new = integrate_q(model, state.q, qd_new, dt)
 
     # warm start uses the solver's grouped row layout [N | T1 | T2 | limits]
+    from .solver import num_limit_rows
+
+    n_lim = num_limit_rows(model)
     lam = (
         jnp.concatenate(
             [
                 result.contact_impulse[:, 0],
                 result.contact_impulse[:, 1],
                 result.contact_impulse[:, 2],
-                jnp.zeros(2 * model.nu),
+                jnp.zeros(n_lim),
             ]
         )
-        if contacts.depth.shape[0] or model.nu
+        if contacts.depth.shape[0] or n_lim
         else state.warm_lambda
     )
     if lam.shape != state.warm_lambda.shape:

@@ -186,14 +186,39 @@ def _tangent_basis(n):
     return t1[0], t2[0]
 
 
+_LIMITED_CACHE: dict = {}
+
+
+def limited_dofs(model: RobotModel):
+    """Static indices of dofs with REAL limits (|limit| < 1e8). Unlimited
+    joints (builder default +-1e9) get no constraint rows — for limit-free
+    robots like cartpole this empties the solve entirely."""
+    key = id(model)
+    if key not in _LIMITED_CACHE:
+        lo = np.asarray(model.dof_limit_lower)
+        hi = np.asarray(model.dof_limit_upper)
+        _LIMITED_CACHE[key] = np.where(
+            (np.abs(lo) < 1e8) | (np.abs(hi) < 1e8)
+        )[0].astype(np.int32)
+    return _LIMITED_CACHE[key]
+
+
+def num_limit_rows(model: RobotModel) -> int:
+    return 2 * len(limited_dofs(model))
+
+
 def limit_rows_t(model: RobotModel):
-    """Static (nv, 2*nu) transposed limit rows, grouped [lowers | uppers]."""
-    if model.nu == 0:
+    """Static (nv, 2*n_limited) transposed limit rows, grouped
+    [lowers | uppers] over the LIMITED dofs only."""
+    lim = limited_dofs(model)
+    nl = len(lim)
+    if nl == 0:
         return np.zeros((model.nv, 0))
-    J = np.zeros((model.nv, 2 * model.nu))
-    for i, v in enumerate(model.dof_v_index):
+    J = np.zeros((model.nv, 2 * nl))
+    for i, d in enumerate(lim):
+        v = model.dof_v_index[d]
         J[v, i] = 1.0  # lower limit: positive impulse pushes q up
-        J[v, model.nu + i] = -1.0  # upper limit
+        J[v, nl + i] = -1.0  # upper limit
     return J
 
 
@@ -240,7 +265,8 @@ def solve_constraints(
     matrix then has spectral radius > 1 -> energy injection).
     """
     ncon = contacts.depth.shape[0]
-    n_lim = 2 * model.nu
+    lim_idx = limited_dofs(model)
+    n_lim = 2 * len(lim_idx)
     nrows = 3 * ncon + n_lim
 
     if nrows == 0:
@@ -255,7 +281,9 @@ def solve_constraints(
         J_t = jnp.concatenate([J_t, jnp.asarray(limit_rows_t(model))], axis=1)
     # (nv, nrows): both operands of the solve iteration share this layout —
     # nv stays in sublanes, the large rows dimension on lanes.
-    MinvJT = jax.scipy.linalg.cho_solve((H_chol, True), J_t)  # (nv, nrows)
+    from .linalg import chol_solve
+
+    MinvJT = chol_solve(H_chol, J_t)  # (nv, nrows)
     diag = jnp.clip(jnp.einsum("vr,vr->r", J_t, MinvJT), 1e-8, None)
 
     # bias: b = J v_free + baumgarte + restitution (contacts), limit bias
@@ -270,15 +298,19 @@ def solve_constraints(
         bias_n = -cfg.baumgarte / dt * pen + rest
         b = b.at[:ncon].add(bias_n)
     if n_lim:
-        lo = jnp.asarray(model.dof_limit_lower) if limit_lower is None else limit_lower
-        hi = jnp.asarray(model.dof_limit_upper) if limit_upper is None else limit_upper
-        viol_lo = jnp.maximum(lo - q_arts, 0.0)
-        viol_hi = jnp.maximum(q_arts - hi, 0.0)
+        li = jnp.asarray(lim_idx)
+        lo = (jnp.asarray(model.dof_limit_lower) if limit_lower is None
+              else limit_lower)[li]
+        hi = (jnp.asarray(model.dof_limit_upper) if limit_upper is None
+              else limit_upper)[li]
+        q_lim = q_arts[li]
+        viol_lo = jnp.maximum(lo - q_lim, 0.0)
+        viol_hi = jnp.maximum(q_lim - hi, 0.0)
         bias_l = jnp.concatenate(
             [-cfg.limit_baumgarte / dt * viol_lo, -cfg.limit_baumgarte / dt * viol_hi]
         )
         lim_active = jnp.concatenate(
-            [(q_arts - lo) < 0.05, (hi - q_arts) < 0.05]
+            [(q_lim - lo) < 0.05, (hi - q_lim) < 0.05]
         )
         b = b.at[3 * ncon :].add(bias_l)
     else:
@@ -350,14 +382,19 @@ def apgd_solve(J_t, MinvJT, b, diag, row_active, mu, lam0, ncon, n_lim,
             lam = jnp.maximum(lam, 0.0)
         return lam * active_f
 
-    # Lipschitz constant via matrix-free power iteration
-    def power_body(_, v):
-        av = A_mv(v)
-        return av / jnp.maximum(jnp.linalg.norm(av), 1e-12)
+    if ncon:
+        # Lipschitz constant via matrix-free power iteration
+        def power_body(_, v):
+            av = A_mv(v)
+            return av / jnp.maximum(jnp.linalg.norm(av), 1e-12)
 
-    v0 = active_f / jnp.maximum(jnp.linalg.norm(active_f), 1e-12)
-    v = jax.lax.fori_loop(0, 6, power_body, v0)
-    L = jnp.maximum(jnp.linalg.norm(A_mv(v)), jnp.max(diag))
+        v0 = active_f / jnp.maximum(jnp.linalg.norm(active_f), 1e-12)
+        v = jax.lax.fori_loop(0, 6, power_body, v0)
+        L = jnp.maximum(jnp.linalg.norm(A_mv(v)), jnp.max(diag))
+    else:
+        # limit-only: rows couple weakly (lo/hi pairs share a dof) — 2x the
+        # diagonal bounds the spectral norm
+        L = 2.0 * jnp.max(diag)
     inv_L = 1.0 / (1.1 * L)
 
     def apgd_body(_, carry):

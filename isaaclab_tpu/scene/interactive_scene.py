@@ -180,7 +180,9 @@ class InteractiveScene:
             pairs=pairs,
             with_ground=self.terrain is not None or _any_ground_geoms(models),
         )
-        self.n_lim_rows = 2 * self.world_model.nu
+        from ..physics.solver import num_limit_rows
+
+        self.n_lim_rows = num_limit_rows(self.world_model)
 
         # --- sensors ---
         for name, scfg in sensor_cfgs.items():
