@@ -42,11 +42,9 @@ from .cartpole_showcase_env import (  # noqa: E402
 )
 
 for _obs, _act in (
-    ("Box", "Box"),
-    ("Box", "Discrete"),
-    ("Box", "MultiDiscrete"),
-    ("Dict", "Box"),
-    ("Tuple", "Box"),
+    (o, a)
+    for o in ("Box", "Discrete", "MultiDiscrete", "Dict", "Tuple")
+    for a in ("Box", "Discrete", "MultiDiscrete")
 ):
     _cfg = CartpoleShowcaseEnvCfg(
         obs_mode=_obs.lower(), act_mode=_act.lower()

@@ -4,8 +4,8 @@
 import gymnasium as gym
 
 from . import agents
-from .flat_env_cfg import AnymalCFlatEnvCfg
-from .rough_env_cfg import AnymalCRoughEnvCfg
+from .flat_env_cfg import AnymalCFlatEnvCfg, AnymalCFlatEnvCfg_PLAY
+from .rough_env_cfg import AnymalCRoughEnvCfg, AnymalCRoughEnvCfg_PLAY
 
 gym.register(
     id="Isaac-Velocity-Flat-Anymal-C-v0",
@@ -18,11 +18,31 @@ gym.register(
 )
 
 gym.register(
+    id="Isaac-Velocity-Flat-Anymal-C-Play-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": AnymalCFlatEnvCfg_PLAY,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:AnymalCFlatPPORunnerCfg",
+    },
+)
+
+gym.register(
     id="Isaac-Velocity-Rough-Anymal-C-v0",
     entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
     disable_env_checker=True,
     kwargs={
         "env_cfg_entry_point": AnymalCRoughEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:AnymalCRoughPPORunnerCfg",
+    },
+)
+
+gym.register(
+    id="Isaac-Velocity-Rough-Anymal-C-Play-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": AnymalCRoughEnvCfg_PLAY,
         "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:AnymalCRoughPPORunnerCfg",
     },
 )

@@ -3,7 +3,12 @@
 import gymnasium as gym
 
 from . import agents
-from .env_cfgs import Go2FlatEnvCfg, Go2RoughEnvCfg
+from .env_cfgs import (
+    Go2FlatEnvCfg,
+    Go2FlatEnvCfg_PLAY,
+    Go2RoughEnvCfg,
+    Go2RoughEnvCfg_PLAY,
+)
 
 gym.register(
     id="Isaac-Velocity-Flat-Unitree-Go2-v0",
@@ -20,6 +25,25 @@ gym.register(
     disable_env_checker=True,
     kwargs={
         "env_cfg_entry_point": Go2RoughEnvCfg,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:Go2RoughPPORunnerCfg",
+    },
+)
+
+gym.register(
+    id="Isaac-Velocity-Flat-Unitree-Go2-Play-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": Go2FlatEnvCfg_PLAY,
+        "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:Go2FlatPPORunnerCfg",
+    },
+)
+gym.register(
+    id="Isaac-Velocity-Rough-Unitree-Go2-Play-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": Go2RoughEnvCfg_PLAY,
         "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:Go2RoughPPORunnerCfg",
     },
 )

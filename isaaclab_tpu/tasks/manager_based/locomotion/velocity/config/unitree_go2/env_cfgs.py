@@ -41,3 +41,23 @@ class Go2FlatEnvCfg(Go2RoughEnvCfg):
         self.observations.policy.height_scan = None
         self.curriculum.terrain_levels = None
         self.rewards.flat_orientation_l2.weight = -5.0
+
+
+@configclass
+class Go2RoughEnvCfg_PLAY(Go2RoughEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+        self.events.base_external_force_torque = None
+        self.events.push_robot = None
+
+
+@configclass
+class Go2FlatEnvCfg_PLAY(Go2FlatEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+        self.events.base_external_force_torque = None
+        self.events.push_robot = None

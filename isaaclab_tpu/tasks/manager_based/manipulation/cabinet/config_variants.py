@@ -1,15 +1,17 @@
-"""Lift task action-space variants (reference
-``manipulation/lift/config/franka/ik_abs_env_cfg.py`` / ``ik_rel_env_cfg.py``)."""
+"""Cabinet task variants (reference ``manipulation/cabinet/config/franka``):
+IK-absolute / IK-relative arm actions and reduced play configs."""
 
 from isaaclab_tpu.controllers import DifferentialIKControllerCfg
 from isaaclab_tpu.envs import mdp
 from isaaclab_tpu.utils import configclass
 
-from .lift_env_cfg import FrankaLiftEnvCfg
+from .cabinet_env_cfg import FrankaCabinetEnvCfg
 
 
 @configclass
-class FrankaLiftIKAbsEnvCfg(FrankaLiftEnvCfg):
+class FrankaCabinetIKAbsEnvCfg(FrankaCabinetEnvCfg):
+    """Reference ``cabinet/config/franka/ik_abs_env_cfg.py``."""
+
     def __post_init__(self):
         super().__post_init__()
         self.actions.arm_action = mdp.DifferentialInverseKinematicsActionCfg(
@@ -23,7 +25,9 @@ class FrankaLiftIKAbsEnvCfg(FrankaLiftEnvCfg):
 
 
 @configclass
-class FrankaLiftIKRelEnvCfg(FrankaLiftEnvCfg):
+class FrankaCabinetIKRelEnvCfg(FrankaCabinetEnvCfg):
+    """Reference ``cabinet/config/franka/ik_rel_env_cfg.py``."""
+
     def __post_init__(self):
         super().__post_init__()
         self.actions.arm_action = mdp.DifferentialInverseKinematicsActionCfg(
@@ -38,7 +42,7 @@ class FrankaLiftIKRelEnvCfg(FrankaLiftEnvCfg):
 
 
 @configclass
-class FrankaLiftEnvCfg_PLAY(FrankaLiftEnvCfg):
+class FrankaCabinetEnvCfg_PLAY(FrankaCabinetEnvCfg):
     def __post_init__(self):
         super().__post_init__()
         self.scene.num_envs = 50

@@ -69,3 +69,44 @@ class FrankaReachOSCEnvCfg(FrankaReachEnvCfg):
                 nullspace_control="position",
             ),
         )
+
+
+@configclass
+class FrankaReachIKAbsEnvCfg(FrankaReachEnvCfg):
+    """Reference ``config/franka/ik_abs_env_cfg.py``: absolute 7d pose action
+    (position + wxyz quaternion) resolved through DLS differential IK."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.actions.arm_action = mdp.DifferentialInverseKinematicsActionCfg(
+            asset_name="robot",
+            joint_names=["panda_joint.*"],
+            body_name="panda_hand",
+            controller=DifferentialIKControllerCfg(
+                command_type="pose", use_relative_mode=False, ik_method="dls"
+            ),
+        )
+
+
+@configclass
+class FrankaReachEnvCfg_PLAY(FrankaReachEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+
+
+@configclass
+class FrankaReachOSCEnvCfg_PLAY(FrankaReachOSCEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False
+
+
+@configclass
+class UR10ReachEnvCfg_PLAY(UR10ReachEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
+        self.observations.policy.enable_corruption = False

@@ -126,3 +126,10 @@ class NavigationEnvCfg(ManagerBasedRLEnvCfg):
         self.decimation = 4
         self.episode_length_s = 10.0
         self.sim.dt = 0.005
+
+
+@configclass
+class NavigationEnvCfg_PLAY(NavigationEnvCfg):
+    def __post_init__(self):
+        super().__post_init__()
+        self.scene.num_envs = 50
