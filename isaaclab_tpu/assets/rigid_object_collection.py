@@ -27,6 +27,10 @@ class RigidObjectCollectionCfg(AssetBaseCfg):
 
 class RigidObjectCollectionEntityState(NamedTuple):
     default_object_state: jnp.ndarray  # (E, N, 13)
+    # per-env index of the variant currently "in focus" (instance
+    # randomization, reference franka_stack_events.py:randomize_rigid_
+    # objects_in_focus keeps this on the env object; here it is state)
+    in_focus: jnp.ndarray = None  # (E,) int32
 
 
 class RigidObjectCollection:
@@ -83,7 +87,10 @@ class RigidObjectCollection:
             jnp.asarray(np.stack(states)), (num_envs, 1, 1)
         )  # (E, N, 13)
         default = default.at[:, :, 0:3].add(env_origins[:, None, :])
-        return RigidObjectCollectionEntityState(default_object_state=default)
+        return RigidObjectCollectionEntityState(
+            default_object_state=default,
+            in_focus=jnp.zeros((num_envs,), dtype=jnp.int32),
+        )
 
     # ------------------------------------------------------------------
     def _q_view(self, q):
@@ -187,6 +194,10 @@ class RigidObjectCollectionData:
     @property
     def default_object_state(self):
         return self._est.default_object_state
+
+    @property
+    def in_focus(self):
+        return self._est.in_focus
 
     @property
     def object_lin_vel_b(self):

@@ -130,7 +130,8 @@ class _SceneView:
         if name in self._views:
             return _EntityView(
                 self._scene.articulations.get(name)
-                or self._scene.rigid_objects.get(name),
+                or self._scene.rigid_objects.get(name)
+                or self._scene.rigid_object_collections.get(name),
                 self._views[name],
             )
         if name in self._scene.sensors:

@@ -20,6 +20,11 @@ class RewardManagerState(NamedTuple):
 
 
 class RewardManager(ManagerBase):
+    # tolerate cfg=None (reward-free tasks, e.g. the stack family which is
+    # teleop/imitation-only — reference stack_env_cfg.py:178 `rewards = None`)
+    _term_names: list = []
+    _term_cfgs: list = []
+
     def _prepare_terms(self):
         self._term_names: list[str] = []
         self._term_cfgs: list[RewardTermCfg] = []

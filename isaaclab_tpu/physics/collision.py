@@ -139,6 +139,87 @@ def num_ground_candidates(geom) -> int:
     return {GEOM_SPHERE: 1, GEOM_CAPSULE: 2, GEOM_CYLINDER: 2, GEOM_BOX: 8}[geom.gtype]
 
 
+def _box_corners(geom, pos, quat):
+    """(8, 3) world-space corners of a box geom."""
+    hx, hy, hz = geom.size
+    local = jnp.array(
+        [
+            [sx * hx, sy * hy, sz * hz]
+            for sx in (-1, 1)
+            for sy in (-1, 1)
+            for sz in (-1, 1)
+        ]
+    )
+    return pos[None, :] + math_utils.quat_apply(
+        jnp.broadcast_to(quat, (8, 4)), local
+    )
+
+
+def _point_vs_box(p, box, box_pos, box_quat, witness_dir):
+    """Contact of point ``p`` against a box: depth > 0 when inside. Normal
+    points from the box toward the point (outward).
+
+    ``witness_dir``: world-frame unit direction from this box's center toward
+    the other body's center. Penetrating (or face-degenerate) points take the
+    box face most aligned with it — for two aligned equal cubes stacked
+    face-on-face, every penetrating corner lies EXACTLY on a lateral face, so
+    a min-distance face pick would return a sideways normal with ~zero depth
+    and the stack falls through; the witness face is the physically loaded
+    one.
+    """
+    half = jnp.asarray(box.size)
+    lp = math_utils.quat_apply_inverse(box_quat, p - box_pos)
+    clamped = jnp.clip(lp, -half, half)
+    delta = lp - clamped
+    dist_out = jnp.linalg.norm(delta)
+    # witness face: box axis most aligned with the direction to the other body
+    w_bf = math_utils.quat_apply_inverse(box_quat, witness_dir)
+    ax = jnp.argmax(jnp.abs(w_bf) / half)
+    sgn = jnp.where(w_bf[ax] >= 0.0, 1.0, -1.0)
+    n_face = jnp.zeros(3).at[ax].set(sgn)
+    depth_face = (half[ax] - sgn * lp[ax])  # penetration past the witness face
+    n_out = delta / jnp.maximum(dist_out, 1e-9)
+    # outside-and-clear points keep the closest-point normal; inside or
+    # edge-degenerate points use the witness face
+    use_out = dist_out > 1e-6
+    normal_box = jnp.where(use_out, n_out, n_face)
+    depth = jnp.where(use_out, -dist_out, depth_face)
+    normal = math_utils.quat_apply(box_quat, normal_box)
+    point = math_utils.quat_apply(box_quat, clamped) + box_pos
+    return point, normal, depth
+
+
+def box_box_contacts(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
+    """Box-box narrowphase via corner-point sampling: the 8 corners of each
+    box tested against the other (16 fixed-size candidates). Exact for the
+    face-on-face resting/stacking configurations that dominate manipulation
+    workloads (cube stacking, factory assembly); edge-edge-only penetrations
+    are picked up one substep later once a corner crosses a face. Replaces
+    PhysX's SAT/GJK box pair (reference relies on PhysX narrowphase,
+    SURVEY.md §2.10) with a branch-free candidate set that vmaps cleanly.
+
+    Returns lists of (point, normal_b_to_a, depth) — corners of A vs B keep
+    the outward normal of B (already b->a); corners of B vs A are flipped.
+    """
+    d = pos_a - pos_b
+    w_ab = d / jnp.maximum(jnp.linalg.norm(d), 1e-9)  # from B toward A
+    out = []
+    for p in _box_corners(geom_a, pos_a, quat_a):
+        point, normal, depth = _point_vs_box(p, geom_b, pos_b, quat_b, w_ab)
+        out.append((point, normal, depth))
+    for p in _box_corners(geom_b, pos_b, quat_b):
+        point, normal, depth = _point_vs_box(p, geom_a, pos_a, quat_a, -w_ab)
+        out.append((point, -normal, depth))
+    return out
+
+
+def num_pair_contacts(geom_a, geom_b) -> int:
+    """Static contact-candidate count for a geom pair."""
+    if geom_a.gtype == GEOM_BOX and geom_b.gtype == GEOM_BOX:
+        return 16
+    return 1
+
+
 def _pair_contact(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
     """Single deepest contact between two convex primitives (sphere/capsule
     treated as swept spheres; box approximated by closest-point clamp)."""
@@ -240,8 +321,8 @@ class CollisionPlan:
         self.with_ground = with_ground
         self.pairs = list(pairs) if pairs else []
         self.ground_geoms = list(model.geoms) if with_ground else []
-        self.ncon = sum(num_ground_candidates(g) for g in self.ground_geoms) + len(
-            self.pairs
+        self.ncon = sum(num_ground_candidates(g) for g in self.ground_geoms) + sum(
+            num_pair_contacts(ga, gb) for ga, gb in self.pairs
         )
 
     def detect(self, kin: Kinematics, terrain=None, terrain_offset=None) -> Contacts:
@@ -281,14 +362,18 @@ class CollisionPlan:
         for ga, gb in self.pairs:
             pa, qa = _geom_world_pose(kin, ga)
             pb, qb = _geom_world_pose(kin, gb)
-            point, normal, depth = _pair_contact(ga, pa, qa, gb, pb, qb)
-            pos_list.append(point)
-            nrm_list.append(normal)
-            depth_list.append(depth)
-            body_a.append(ga.body)
-            body_b.append(gb.body)
-            fric.append(0.5 * (ga.friction + gb.friction))
-            rest.append(max(ga.restitution, gb.restitution))
+            if ga.gtype == GEOM_BOX and gb.gtype == GEOM_BOX:
+                hits = box_box_contacts(ga, pa, qa, gb, pb, qb)
+            else:
+                hits = [_pair_contact(ga, pa, qa, gb, pb, qb)]
+            for point, normal, depth in hits:
+                pos_list.append(point)
+                nrm_list.append(normal)
+                depth_list.append(depth)
+                body_a.append(ga.body)
+                body_b.append(gb.body)
+                fric.append(0.5 * (ga.friction + gb.friction))
+                rest.append(max(ga.restitution, gb.restitution))
 
         if not pos_list:
             return Contacts(

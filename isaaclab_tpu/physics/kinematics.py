@@ -256,7 +256,7 @@ _ANCESTOR_CACHE: dict = {}
 
 def ancestor_dofs(model: RobotModel, body_index: int) -> frozenset:
     """Set of v-indices whose dofs influence ``body_index`` (static)."""
-    key = (id(model), body_index)
+    key = (model.uid, body_index)  # id() unsafe: addresses reused after GC
     if key in _ANCESTOR_CACHE:
         return _ANCESTOR_CACHE[key]
     dofs = set()

@@ -33,6 +33,14 @@ GEOM_BOX = 2
 GEOM_PLANE = 3
 GEOM_CYLINDER = 4
 
+# Monotonic per-instance token for trace-time caches. ``id(model)`` is NOT a
+# valid cache key: CPython reuses addresses after GC, so a long-lived process
+# (test sweeps, multi-task training) can silently read another topology's
+# cached masks. Every RobotModel gets a process-unique uid instead.
+import itertools as _itertools
+
+_MODEL_UID = _itertools.count()
+
 
 @dataclass
 class Geom:
@@ -96,6 +104,7 @@ class RobotModel:
     # --- misc ---
     name: str = "robot"
     floating_base: bool = False
+    uid: int = field(default_factory=lambda: next(_MODEL_UID))
 
     # ------------------------------------------------------------------
     # Derived layout (computed by finalize())

@@ -48,7 +48,7 @@ _ANCESTOR_MASK_CACHE: dict = {}
 
 def ancestor_mask(model: RobotModel):
     """(nbody, nv) static 0/1 mask: dof d moves body b."""
-    key = id(model)
+    key = model.uid  # id(model) is unsafe: CPython reuses addresses after GC
     if key not in _ANCESTOR_MASK_CACHE:
         import numpy as _np
 
@@ -193,7 +193,7 @@ def limited_dofs(model: RobotModel):
     """Static indices of dofs with REAL limits (|limit| < 1e8). Unlimited
     joints (builder default +-1e9) get no constraint rows — for limit-free
     robots like cartpole this empties the solve entirely."""
-    key = id(model)
+    key = model.uid  # id(model) is unsafe: CPython reuses addresses after GC
     if key not in _LIMITED_CACHE:
         lo = np.asarray(model.dof_limit_lower)
         hi = np.asarray(model.dof_limit_upper)

@@ -155,11 +155,8 @@ class InteractiveScene:
         # --- collision plan: ground contacts + inter-entity pairs ---
         # (replaces PhysX broadphase: the candidate pair list is static —
         # all geom pairs between DIFFERENT entities; self-collision off,
-        # matching the reference default. Box-box pairs are skipped: the
-        # narrowphase supports sphere/capsule vs anything and box vs
-        # sphere/capsule.)
-        from ..physics.model import GEOM_BOX
-
+        # matching the reference default. Box-box pairs use the 16-candidate
+        # corner narrowphase in physics/collision.py.)
         pairs = []
         for i, ni in enumerate(names):
             for nj in names[i + 1 :]:
@@ -172,8 +169,6 @@ class InteractiveScene:
                 ]
                 for ga in geoms_i:
                     for gb in geoms_j:
-                        if ga.gtype == GEOM_BOX and gb.gtype == GEOM_BOX:
-                            continue
                         pairs.append((ga, gb))
         self.collision_plan = CollisionPlan(
             self.world_model,

@@ -44,7 +44,15 @@ class FrameTransformerCfg(SensorBaseCfg):
 
 
 class FrameTransformerState(NamedTuple):
-    dummy: jnp.ndarray  # stateless sensor; pytree placeholder
+    """Computed target poses (refreshed every ``scene.update``; FK is already
+    cached scene-wide so this is pure reuse, not extra work)."""
+
+    target_pos_w: jnp.ndarray  # (E, T, 3)
+    target_quat_w: jnp.ndarray  # (E, T, 4)
+    target_pos_source: jnp.ndarray  # (E, T, 3)
+    target_quat_source: jnp.ndarray  # (E, T, 4)
+    source_pos_w: jnp.ndarray  # (E, 3)
+    source_quat_w: jnp.ndarray  # (E, 4)
 
 
 class FrameTransformerData:
@@ -81,18 +89,39 @@ class FrameTransformer(SensorBase):
                 self.target_frame_names.append(tf.name or tname)
 
     def init_state(self, num_envs: int) -> FrameTransformerState:
-        return FrameTransformerState(dummy=jnp.zeros(()))
-
-    def update(self, state, scene_state, dt: float):
-        return state if state is not None else self.init_state(
-            scene_state.phys.q.shape[0]
+        T = len(self._targets)
+        E = num_envs
+        ident = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (E, 1))
+        return FrameTransformerState(
+            target_pos_w=jnp.zeros((E, T, 3)),
+            target_quat_w=jnp.tile(ident[:, None], (1, T, 1)),
+            target_pos_source=jnp.zeros((E, T, 3)),
+            target_quat_source=jnp.tile(ident[:, None], (1, T, 1)),
+            source_pos_w=jnp.zeros((E, 3)),
+            source_quat_w=ident,
         )
 
-    def data_view(self, state):
-        # computed lazily against the scene's latest cached kinematics by the
-        # env context; recompute here from the facade's stored scene state is
-        # not possible (stateless), so data is produced in compute()
-        raise RuntimeError("Use FrameTransformer.compute(scene_state)")
+    def update(self, state, scene_state, dt: float):
+        d = self.compute(scene_state)
+        return FrameTransformerState(
+            target_pos_w=d.target_pos_w,
+            target_quat_w=d.target_quat_w,
+            target_pos_source=d.target_pos_source,
+            target_quat_source=d.target_quat_source,
+            source_pos_w=d.source_pos_w,
+            source_quat_w=d.source_quat_w,
+        )
+
+    def data_view(self, state: FrameTransformerState) -> FrameTransformerData:
+        return FrameTransformerData(
+            target_pos_w=state.target_pos_w,
+            target_quat_w=state.target_quat_w,
+            target_pos_source=state.target_pos_source,
+            target_quat_source=state.target_quat_source,
+            source_pos_w=state.source_pos_w,
+            source_quat_w=state.source_quat_w,
+            names=self.target_frame_names,
+        )
 
     def compute(self, scene_state) -> FrameTransformerData:
         kin = self._scene.kinematics(scene_state)

@@ -1,2 +1,2 @@
 """Manipulation task family (reference manager_based/manipulation/)."""
-from . import cabinet, lift, reach  # noqa: F401
+from . import cabinet, lift, reach, stack  # noqa: F401

@@ -349,3 +349,53 @@ class TestCrbaWorld:
         q = q.at[3:7].set(mu.normalize(q[3:7]))
         H1, H2 = both(q)
         np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), atol=2e-4)
+
+
+class TestBoxBoxContact:
+    """Corner-sampling box-box narrowphase (physics/collision.py:box_box_contacts)."""
+
+    def _two_boxes(self, half=0.05, mass=0.5):
+        from isaaclab_tpu.physics.model import GEOM_BOX
+
+        b = ModelBuilder("boxes")
+        inertia = np.eye(3) * (mass * (2 * half) ** 2 / 6.0)
+        b.add_body("lower", parent=-1, jnt_type=JOINT_FREE, mass=mass, inertia=inertia)
+        b.add_geom(0, GEOM_BOX, (half, half, half), friction=1.0)
+        b.add_body("upper", parent=-1, jnt_type=JOINT_FREE, mass=mass, inertia=inertia)
+        b.add_geom(1, GEOM_BOX, (half, half, half), friction=1.0)
+        return b.build()
+
+    def test_stacked_boxes_rest(self):
+        model = self._two_boxes()
+        pairs = [(model.geoms[0], model.geoms[1])]
+        plan = CollisionPlan(model, pairs=pairs, with_ground=True)
+        cfg = eng.EngineCfg(dt=1.0 / 120.0)
+        params = eng.BodyParams.from_model(model)
+        drive = eng.JointDrive.zero(model.nu)
+        state = eng.PhysicsState.create(model, plan.ncon, 0)
+        # lower box resting on ground, upper box directly on top
+        state = state._replace(q=state.q.at[2].set(0.05).at[9].set(0.15))
+        final, _ = jax.jit(
+            lambda s: simulate(model, plan, s, drive, params, cfg, 240)
+        )(state)
+        np.testing.assert_allclose(float(final.q[2]), 0.05, atol=0.01)
+        np.testing.assert_allclose(float(final.q[9]), 0.15, atol=0.015)
+        np.testing.assert_allclose(np.asarray(final.qd), 0.0, atol=0.08)
+
+    def test_offset_box_falls_off(self):
+        """An upper box with no overlap must not be held up by phantom contacts."""
+        model = self._two_boxes()
+        pairs = [(model.geoms[0], model.geoms[1])]
+        plan = CollisionPlan(model, pairs=pairs, with_ground=True)
+        cfg = eng.EngineCfg(dt=1.0 / 120.0)
+        params = eng.BodyParams.from_model(model)
+        drive = eng.JointDrive.zero(model.nu)
+        state = eng.PhysicsState.create(model, plan.ncon, 0)
+        # upper box fully offset in x: falls to the ground next to the lower
+        state = state._replace(
+            q=state.q.at[2].set(0.05).at[7].set(0.4).at[9].set(0.15)
+        )
+        final, _ = jax.jit(
+            lambda s: simulate(model, plan, s, drive, params, cfg, 360)
+        )(state)
+        np.testing.assert_allclose(float(final.q[9]), 0.05, atol=0.01)
