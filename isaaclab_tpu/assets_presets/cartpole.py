@@ -19,11 +19,16 @@ def build_cartpole_model():
         limits=(-4.0, 4.0), effort_limit=400.0, velocity_limit=100.0,
     )
     # pole pivots about y, hangs up: com at +0.5 z when upright
-    b.add_body(
+    pole = b.add_body(
         "pole", cart, JOINT_REVOLUTE, jnt_axis=(0, 1, 0), mass=1.0,
         com=(0, 0, 0.5), inertia=np.diag([0.0, 1.0 / 12.0, 0.0]),
         jnt_name="cart_to_pole", effort_limit=400.0, velocity_limit=100.0,
     )
+    # display-only shapes for the camera tasks (collidable=False keeps the
+    # contact pipeline empty — cartpole stays the contact-free fast path)
+    from .cartpole_visuals import add_cartpole_visuals
+
+    add_cartpole_visuals(b, cart, pole)
     return b.build()
 
 

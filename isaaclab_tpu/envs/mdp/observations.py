@@ -6,6 +6,7 @@ context. ``asset_cfg.joint_ids`` are static index arrays resolved at build.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ...managers import SceneEntityCfg
@@ -189,3 +190,113 @@ def object_position_in_robot_root_frame(
         robot.root_pos_w, robot.root_quat_w, obj.root_pos_w
     )
     return pos_b
+
+
+# -- camera images (reference observations.py:234-529) --
+
+
+def image(
+    env,
+    sensor_cfg: SceneEntityCfg = SceneEntityCfg("tiled_camera"),
+    data_type: str = "rgb",
+    convert_perspective_to_orthogonal: bool = False,
+    normalize: bool = True,
+):
+    """Camera image observation (reference observations.py:image:234).
+
+    rgb is normalized to [0,1] minus the per-image mean; depth types replace
+    far-clip misses with zero — same post-processing as the reference.
+    """
+    sensor = env.scene[sensor_cfg.name]
+    images = sensor.data.output[data_type]
+    if normalize:
+        if data_type == "rgb":
+            images = images / 255.0
+            images = images - jnp.mean(images, axis=(1, 2), keepdims=True)
+        elif "distance_to" in data_type or "depth" in data_type:
+            far = float(sensor.cfg.clipping_range[1])
+            images = jnp.where(images >= far, 0.0, images)
+    return images.reshape(images.shape[0], -1)
+
+
+# Frozen feature extractors (reference observations.py:image_features with
+# pretrained ResNet18 / Theia-Tiny downloads). Offline TPU build: same API
+# and output dims, but deterministic fixed-seed random features (frozen
+# random projections are a known-strong baseline for RL from pixels; no
+# network weights can be fetched in this environment).
+_FEATURE_EXTRACTORS: dict = {}
+
+
+def _frozen_cnn_params(key_shapes, seed):
+    # host-side numpy constants: building jnp arrays here would capture live
+    # tracers when the extractor is first built inside a jit/eval_shape trace
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        rng.normal(0.0, np.sqrt(2.0 / np.prod(shp[:-1])), shp).astype(np.float32)
+        for shp in key_shapes
+    ]
+
+
+def _get_feature_extractor(model_name: str, H: int, W: int, C: int):
+    key = (model_name, H, W, C)
+    if key in _FEATURE_EXTRACTORS:
+        return _FEATURE_EXTRACTORS[key]
+    import jax.lax as lax
+
+    if "resnet" in model_name:
+        out_dim = 512
+        ws = _frozen_cnn_params(
+            [(8, 8, C, 32), (4, 4, 32, 64), (3, 3, 64, 128), (128, out_dim)],
+            seed=18,
+        )
+
+        def extract(x):  # (E, H, W, C) float
+            for i, w in enumerate(ws[:-1]):
+                x = lax.conv_general_dilated(
+                    x, w, window_strides=((4, 4), (2, 2), (2, 2))[i],
+                    padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                x = jax.nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))  # global average pool
+            return x @ ws[-1]
+
+    else:  # theia-style: patch embedding + token mixing
+        out_dim = 192
+        P = 10
+        ws = _frozen_cnn_params(
+            [(P, P, C, out_dim), (out_dim, out_dim), (out_dim, out_dim)],
+            seed=224,
+        )
+
+        def extract(x):
+            x = lax.conv_general_dilated(
+                x, ws[0], window_strides=(P, P), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # (E, h, w, D) patch tokens
+            E = x.shape[0]
+            x = x.reshape(E, -1, out_dim)
+            x = jax.nn.gelu(x @ ws[1]) + x
+            x = jnp.mean(x, axis=1)  # token pool
+            return jax.nn.gelu(x @ ws[2])
+
+    _FEATURE_EXTRACTORS[key] = (extract, out_dim)
+    return _FEATURE_EXTRACTORS[key]
+
+
+def image_features(
+    env,
+    sensor_cfg: SceneEntityCfg = SceneEntityCfg("tiled_camera"),
+    data_type: str = "rgb",
+    model_name: str = "resnet18",
+    **kwargs,
+):
+    """Frozen-vision-backbone features of a camera image (reference
+    observations.py:image with ResNet18/TheiaTiny extraction)."""
+    sensor = env.scene[sensor_cfg.name]
+    images = sensor.data.output[data_type] / 255.0
+    E, H, W, C = images.shape
+    extract, _ = _get_feature_extractor(model_name, H, W, C)
+    return extract(images)

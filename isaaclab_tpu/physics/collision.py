@@ -319,8 +319,12 @@ class CollisionPlan:
     def __init__(self, model: RobotModel, pairs=None, with_ground: bool = True):
         self.model = model
         self.with_ground = with_ground
-        self.pairs = list(pairs) if pairs else []
-        self.ground_geoms = list(model.geoms) if with_ground else []
+        self.pairs = [
+            (ga, gb) for ga, gb in (pairs or []) if ga.collidable and gb.collidable
+        ]
+        self.ground_geoms = (
+            [g for g in model.geoms if g.collidable] if with_ground else []
+        )
         self.ncon = sum(num_ground_candidates(g) for g in self.ground_geoms) + sum(
             num_pair_contacts(ga, gb) for ga, gb in self.pairs
         )

@@ -59,6 +59,13 @@ class Geom:
     friction: float = 1.0
     restitution: float = 0.0
     name: str = ""
+    # display color for the batch renderer (sensors/tiled_camera.py);
+    # None -> palette color assigned by body index at render time
+    rgba: tuple = None
+    # visual-only geoms (collidable=False) are rendered/raycast but excluded
+    # from the contact pipeline — keeps contact-free tasks (e.g. cartpole)
+    # contact-free when they gain display shapes for the camera sensors
+    collidable: bool = True
 
 
 @dataclass
@@ -355,7 +362,7 @@ class ModelBuilder:
             self.jnt_names.append(jnt_name or f"{name}_{'free' if jnt_type == JOINT_FREE else 'fixed'}")
         return idx
 
-    def add_geom(self, body: int, gtype: int, size, pos=(0, 0, 0), quat=(1, 0, 0, 0), friction=1.0, restitution=0.0, name=""):
+    def add_geom(self, body: int, gtype: int, size, pos=(0, 0, 0), quat=(1, 0, 0, 0), friction=1.0, restitution=0.0, name="", rgba=None, collidable=True):
         self.geoms.append(
             Geom(
                 body=body,
@@ -366,6 +373,8 @@ class ModelBuilder:
                 friction=friction,
                 restitution=restitution,
                 name=name or f"geom_{len(self.geoms)}",
+                rgba=rgba,
+                collidable=collidable,
             )
         )
 

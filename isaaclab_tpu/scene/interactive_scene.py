@@ -102,8 +102,13 @@ class InteractiveScene:
             RigidObjectCollectionCfg,
         )
 
-        for f in _dc.fields(cfg):
-            name, value = f.name, getattr(cfg, f.name)
+        # declared fields + attributes added dynamically in __post_init__
+        # (the reference supports `self.scene.wrist_cam = CameraCfg(...)`;
+        # configclass instances keep those only in __dict__)
+        seen = {f.name: getattr(cfg, f.name) for f in _dc.fields(cfg)}
+        for name, value in vars(cfg).items():
+            seen.setdefault(name, value)
+        for name, value in seen.items():
             if isinstance(value, DeformableObjectCfg):
                 # deformables live in the XPBD particle engine, not the rigid
                 # world forest
@@ -427,7 +432,7 @@ def _resolve_model(source):
 
 
 def _any_ground_geoms(models) -> bool:
-    return any(len(m.geoms) > 0 for m in models)
+    return any(any(g.collidable for g in m.geoms) for m in models)
 
 
 def _apply_fixed_base_pose(model, init_state) -> None:

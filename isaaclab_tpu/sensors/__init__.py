@@ -26,3 +26,11 @@ from .ray_caster import (  # noqa: F401
 )
 from .ray_caster_camera import RayCasterCamera, RayCasterCameraCfg  # noqa: F401
 from .sensor_base import SensorBase, SensorBaseCfg  # noqa: F401
+from .tiled_camera import (  # noqa: F401
+    Camera,
+    CameraCfg,
+    TiledCamera,
+    TiledCameraCfg,
+    TiledCameraData,
+    TiledCameraOffsetCfg,
+)

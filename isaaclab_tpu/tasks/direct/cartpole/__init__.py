@@ -58,3 +58,46 @@ for _obs, _act in (
         disable_env_checker=True,
         kwargs={"env_cfg_entry_point": _cfg},
     )
+
+from .cartpole_camera_env import (  # noqa: E402
+    CartpoleRGBCameraDirectEnv,
+    CartpoleRGBCameraDirectEnvCfg,
+)
+
+gym.register(
+    id="Isaac-Cartpole-RGB-Camera-Direct-v0",
+    entry_point=(
+        "isaaclab_tpu.tasks.direct.cartpole.cartpole_camera_env:"
+        "CartpoleRGBCameraDirectEnv"
+    ),
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": CartpoleRGBCameraDirectEnvCfg,
+        "rsl_rl_cfg_entry_point": (
+            f"{__name__}.agents.rsl_rl_ppo_cfg:CartpoleDirectPPORunnerCfg"
+        ),
+    },
+)
+
+from .cartpole_camera_showcase_env import (  # noqa: E402
+    CartpoleCameraShowcaseEnv,
+    CartpoleCameraShowcaseEnvCfg,
+)
+
+for _obs, _act in (
+    (o, a)
+    for o in ("Box", "Dict", "Tuple")
+    for a in ("Box", "Discrete", "MultiDiscrete")
+):
+    _cfg = CartpoleCameraShowcaseEnvCfg(
+        obs_mode=_obs.lower(), act_mode=_act.lower()
+    )
+    gym.register(
+        id=f"Isaac-Cartpole-Camera-Showcase-{_obs}-{_act}-Direct-v0",
+        entry_point=(
+            "isaaclab_tpu.tasks.direct.cartpole.cartpole_camera_showcase_env:"
+            "CartpoleCameraShowcaseEnv"
+        ),
+        disable_env_checker=True,
+        kwargs={"env_cfg_entry_point": _cfg},
+    )

@@ -94,3 +94,56 @@ class CartpoleDepthCameraDirectEnv(CartpoleDirectEnv):
         depth = depth / self.cfg.scene.depth_camera.max_distance
         flat = depth.reshape(depth.shape[0], -1)
         return {"policy": flat - jnp.mean(flat, axis=-1, keepdims=True)}
+
+
+# ---------------------------------------------------------------------------
+# RGB tiled-camera variant (reference direct/cartpole/cartpole_camera_env.py
+# CartpoleRGBCameraEnvCfg, Isaac-Cartpole-RGB-Camera-Direct-v0)
+# ---------------------------------------------------------------------------
+
+from ....sensors import TiledCameraCfg, TiledCameraOffsetCfg  # noqa: E402
+
+
+@configclass
+class CartpoleRGBCameraSceneCfg(CartpoleDirectSceneCfg):
+    tiled_camera = TiledCameraCfg(
+        offset=TiledCameraOffsetCfg(
+            pos=(-5.0, 0.0, 2.0), rot=(1.0, 0.0, 0.0, 0.0), convention="world"
+        ),
+        data_types=["rgb"],
+        focal_length=24.0,
+        horizontal_aperture=20.955,
+        clipping_range=(0.1, 20.0),
+        width=100,
+        height=100,
+    )
+
+
+@configclass
+class CartpoleRGBCameraDirectEnvCfg(CartpoleDirectEnvCfg):
+    """Reference CartpoleRGBCameraEnvCfg (cartpole_camera_env.py:25)."""
+
+    scene: CartpoleRGBCameraSceneCfg = CartpoleRGBCameraSceneCfg(
+        num_envs=1024, env_spacing=20.0
+    )
+    observation_space: int = 100 * 100 * 3
+
+    def __post_init__(self):
+        super().__post_init__()
+        cam = self.scene.tiled_camera
+        self.observation_space = cam.height * cam.width * 3
+
+
+class CartpoleRGBCameraDirectEnv(CartpoleDirectEnv):
+    cfg: CartpoleRGBCameraDirectEnvCfg
+
+    def _camera_obs(self, state):
+        sensor = self.scene.sensors["tiled_camera"]
+        data = sensor.data_view(state.scene.sensors["tiled_camera"])
+        rgb = data.output["rgb"] / 255.0
+        rgb = rgb - jnp.mean(rgb, axis=(1, 2), keepdims=True)
+        return rgb
+
+    def _get_observations(self, state):
+        rgb = self._camera_obs(state)
+        return {"policy": rgb.reshape(rgb.shape[0], -1)}

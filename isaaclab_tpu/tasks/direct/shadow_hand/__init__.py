@@ -45,3 +45,39 @@ gym.register(
         ),
     },
 )
+
+from .shadow_hand_vision_env import (  # noqa: E402
+    ShadowHandVisionEnv,
+    ShadowHandVisionEnvCfg,
+    ShadowHandVisionEnvPlayCfg,
+)
+
+gym.register(
+    id="Isaac-Repose-Cube-Shadow-Vision-Direct-v0",
+    entry_point=(
+        "isaaclab_tpu.tasks.direct.shadow_hand.shadow_hand_vision_env:"
+        "ShadowHandVisionEnv"
+    ),
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": ShadowHandVisionEnvCfg,
+        "rsl_rl_cfg_entry_point": (
+            f"{agents.__name__}.rsl_rl_ppo_cfg:ShadowHandPPORunnerCfg"
+        ),
+    },
+)
+
+gym.register(
+    id="Isaac-Repose-Cube-Shadow-Vision-Direct-Play-v0",
+    entry_point=(
+        "isaaclab_tpu.tasks.direct.shadow_hand.shadow_hand_vision_env:"
+        "ShadowHandVisionEnv"
+    ),
+    disable_env_checker=True,
+    kwargs={
+        "env_cfg_entry_point": ShadowHandVisionEnvPlayCfg,
+        "rsl_rl_cfg_entry_point": (
+            f"{agents.__name__}.rsl_rl_ppo_cfg:ShadowHandPPORunnerCfg"
+        ),
+    },
+)

@@ -44,7 +44,7 @@ class ShadowHandEnvCfg(DirectRLEnvCfg):
 
     decimation: int = 2
     episode_length_s: float = 10.0
-    action_space: int = 22
+    action_space: int = 23  # 22 hand + 1 wrist dof in our URDF-built model
     observation_space: int = 124  # placeholder; computed from model at init
     scene: ShadowHandSceneCfg = ShadowHandSceneCfg(num_envs=8192, env_spacing=0.75)
     dist_reward_scale: float = -10.0

@@ -15,3 +15,29 @@ gym.register(
         "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:CartpolePPORunnerCfg",
     },
 )
+
+# -- camera variants (reference classic/cartpole/__init__.py:32-69) --
+from .cartpole_camera_env_cfg import (  # noqa: E402
+    CartpoleDepthCameraEnvCfg,
+    CartpoleRGBCameraEnvCfg,
+    CartpoleResNet18CameraEnvCfg,
+    CartpoleTheiaTinyCameraEnvCfg,
+)
+
+for _id, _cfg in (
+    ("Isaac-Cartpole-RGB-v0", CartpoleRGBCameraEnvCfg),
+    ("Isaac-Cartpole-Depth-v0", CartpoleDepthCameraEnvCfg),
+    ("Isaac-Cartpole-RGB-ResNet18-v0", CartpoleResNet18CameraEnvCfg),
+    ("Isaac-Cartpole-RGB-TheiaTiny-v0", CartpoleTheiaTinyCameraEnvCfg),
+):
+    gym.register(
+        id=_id,
+        entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+        disable_env_checker=True,
+        kwargs={
+            "env_cfg_entry_point": _cfg,
+            "rsl_rl_cfg_entry_point": (
+                f"{agents.__name__}.rsl_rl_ppo_cfg:CartpoleCameraPPORunnerCfg"
+            ),
+        },
+    )

@@ -36,3 +36,17 @@ class CartpolePPORunnerCfg(RslRlOnPolicyRunnerCfg):
         desired_kl=0.01,
         max_grad_norm=1.0,
     )
+
+
+@configclass
+class CartpoleCameraPPORunnerCfg(CartpolePPORunnerCfg):
+    """Vision-variant runner (reference rl_games_camera/feature_ppo_cfg.yaml;
+    wider MLP over pixels/features in place of the rl_games CNN)."""
+
+    experiment_name = "cartpole_camera"
+    policy = RslRlPpoActorCriticCfg(
+        init_noise_std=1.0,
+        actor_hidden_dims=[256, 128],
+        critic_hidden_dims=[256, 128],
+        activation="elu",
+    )

@@ -45,3 +45,22 @@ gym.register(
     kwargs={"env_cfg_entry_point": FrankaCubeStackInstanceRandomizeIKRelEnvCfg},
     disable_env_checker=True,
 )
+
+from .config_variants import (  # noqa: E402
+    FrankaCubeStackBlueprintEnvCfg,
+    FrankaCubeStackVisuomotorEnvCfg,
+)
+
+gym.register(
+    id="Isaac-Stack-Cube-Franka-IK-Rel-Visuomotor-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    kwargs={"env_cfg_entry_point": FrankaCubeStackVisuomotorEnvCfg},
+    disable_env_checker=True,
+)
+
+gym.register(
+    id="Isaac-Stack-Cube-Franka-IK-Rel-Blueprint-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    kwargs={"env_cfg_entry_point": FrankaCubeStackBlueprintEnvCfg},
+    disable_env_checker=True,
+)

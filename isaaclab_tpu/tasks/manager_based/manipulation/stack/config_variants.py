@@ -145,3 +145,90 @@ class FrankaCubeStackInstanceRandomizeIKRelEnvCfg(
     def __post_init__(self):
         super().__post_init__()
         self.actions.arm_action = _ik_arm_action(relative=True)
+
+
+# ---------------------------------------------------------------------------
+# Visuomotor / Blueprint variants (reference stack_ik_rel_visuomotor_env_cfg
+# .py, stack_ik_rel_blueprint_env_cfg.py): IK-rel stacking with wrist +
+# table RGB-D cameras exposed as an ``rgb_camera`` observation group.
+# ---------------------------------------------------------------------------
+
+from isaaclab_tpu.managers import ObservationGroupCfg as ObsGroup  # noqa: E402
+from isaaclab_tpu.sensors import TiledCameraCfg, TiledCameraOffsetCfg  # noqa: E402
+
+
+def _stack_cameras():
+    common = dict(
+        data_types=["rgb", "distance_to_image_plane"],
+        focal_length=24.0,
+        horizontal_aperture=20.955,
+        clipping_range=(0.1, 2.0),
+        width=84,
+        height=84,
+    )
+    wrist = TiledCameraCfg(
+        prim_path="robot/panda_hand",
+        offset=TiledCameraOffsetCfg(
+            pos=(0.13, 0.0, -0.15),
+            rot=(-0.70614, 0.03701, 0.03701, -0.70614),
+            convention="ros",
+        ),
+        **common,
+    )
+    table = TiledCameraCfg(
+        offset=TiledCameraOffsetCfg(
+            pos=(1.0, 0.0, 0.4),
+            rot=(0.35355, -0.61237, -0.61237, 0.35355),
+            convention="ros",
+        ),
+        **common,
+    )
+    return wrist, table
+
+
+@configclass
+class VisuomotorObservationsCfg(ObservationsCfg):
+    """Adds the RGB camera group (reference VisuomotorObservationsCfg)."""
+
+    @configclass
+    class RGBCameraPolicyCfg(ObsGroup):
+        table_cam = ObsTerm(
+            func=mdp.image,
+            params={
+                "sensor_cfg": SceneEntityCfg("table_cam"),
+                "data_type": "rgb", "normalize": False,
+            },
+        )
+        wrist_cam = ObsTerm(
+            func=mdp.image,
+            params={
+                "sensor_cfg": SceneEntityCfg("wrist_cam"),
+                "data_type": "rgb", "normalize": False,
+            },
+        )
+
+        def __post_init__(self):
+            self.enable_corruption = False
+            self.concatenate_terms = False
+
+    rgb_camera: RGBCameraPolicyCfg = RGBCameraPolicyCfg()
+
+
+@configclass
+class FrankaCubeStackVisuomotorEnvCfg(FrankaCubeStackIKRelEnvCfg):
+    """Reference ``FrankaCubeStackVisuomotorEnvCfg``."""
+
+    observations: VisuomotorObservationsCfg = VisuomotorObservationsCfg()
+
+    def __post_init__(self):
+        super().__post_init__()
+        wrist, table = _stack_cameras()
+        self.scene.wrist_cam = wrist
+        self.scene.table_cam = table
+
+
+@configclass
+class FrankaCubeStackBlueprintEnvCfg(FrankaCubeStackVisuomotorEnvCfg):
+    """Reference ``FrankaCubeStackBlueprintEnvCfg`` — same MDP as the
+    visuomotor variant; the reference only adds Cosmos-oriented image dump
+    plumbing around the same cameras."""
