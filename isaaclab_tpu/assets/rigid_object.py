@@ -53,6 +53,14 @@ class RigidObject(AssetBase):
         self.world_model = world_model
         self.slice = eslice
 
+    def find_bodies(self, name_keys, preserve_order: bool = False):
+        """Regex body lookup (reference rigid_object.py:find_bodies)."""
+        from ..utils import string as string_utils
+
+        return string_utils.resolve_matching_names(
+            name_keys, self.body_names, preserve_order
+        )
+
     def init_entity_state(self, num_envs: int, env_origins):
         ist = self.cfg.init_state
         root13 = jnp.concatenate(

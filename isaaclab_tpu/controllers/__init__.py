@@ -12,3 +12,8 @@ from .operational_space import (  # noqa: F401
     OperationalSpaceController,
     OperationalSpaceControllerCfg,
 )
+from .pink_ik import (  # noqa: F401
+    FrameTaskCfg,
+    PinkIKController,
+    PinkIKControllerCfg,
+)

@@ -187,6 +187,12 @@ class _CommandView:
     def get_term(self, name: str):
         return self._manager.get_term(name)
 
+    def get_term_state(self, name: str):
+        """Full CommandTermState (command + timers + term extras) — used by
+        terms that read command-term bookkeeping (e.g. consecutive-success
+        counters, reference command_manager metrics)."""
+        return self._state[name]
+
 
 class _ActionView:
     def __init__(self, am_state: ActionManagerState):

@@ -554,3 +554,107 @@ class PreTrainedPolicyActionCfg(ActionTermCfg):
     policy_hidden_dims: list = [128, 128, 128]
     low_level_action_scale: float = 0.5
     scale: tuple = (1.0, 1.0, 1.0)
+
+
+class PinkInverseKinematicsAction(ActionTerm):
+    """Whole-body multi-frame IK action (reference
+    ``envs/mdp/actions/pink_actions_cfg.py:PinkInverseKinematicsAction``):
+    action = [pose(7) per task frame ...] + hand joint positions. Frame
+    targets are absolute poses in the env frame; the controller resolves
+    them to position targets on the pink-controlled joints; hand joints are
+    position-controlled directly."""
+
+    def __init__(self, cfg, env):
+        super().__init__(cfg, env)
+        from ...controllers import PinkIKController
+
+        self._controller = PinkIKController(cfg.controller, env.num_envs)
+        ids, _ = self._asset.find_joints(
+            cfg.pink_controlled_joint_names, preserve_order=True
+        )
+        self._pink_joint_ids = np.asarray(ids, dtype=np.int32)
+        ids, _ = self._asset.find_joints(
+            cfg.hand_joint_names, preserve_order=True
+        )
+        self._hand_joint_ids = np.asarray(ids, dtype=np.int32)
+        self._frame_bodies = []
+        for task in cfg.controller.variable_input_tasks:
+            frame = getattr(task, "frame", task)
+            # reference frame names carry the URDF asset prefix
+            # ("GR1T2_fourier_hand_6dof_<body>"); strip to the body name
+            for prefix in ("GR1T2_fourier_hand_6dof_",):
+                if isinstance(frame, str) and frame.startswith(prefix):
+                    frame = frame[len(prefix):]
+            bids, _ = self._asset.find_bodies(frame)
+            self._frame_bodies.append(
+                self._asset.slice.body_start + int(bids[0])
+            )
+        self._dof_cols = np.asarray(
+            self._asset.joint_v_indices()[self._pink_joint_ids],
+            dtype=np.int32,
+        )
+        self._scene = env.scene
+
+    @property
+    def action_dim(self):
+        return self._controller.action_dim
+
+    def process_actions(self, env, scene_state, actions):
+        import jax as _jax
+
+        from ...physics.kinematics import body_jacobian
+
+        T = self._controller.num_tasks
+        targets = actions[:, : 7 * T].reshape(-1, T, 7)
+        # normalize target quaternions (teleop streams are not exact)
+        q = targets[..., 3:7]
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+        targets = jnp.concatenate([targets[..., 0:3], q], axis=-1)
+        hand_targets = actions[:, 7 * T :]
+
+        scene = self._scene
+        kin = scene.kinematics(scene_state)
+        poses, jacs = [], []
+        for b in self._frame_bodies:
+            poses.append(
+                jnp.concatenate(
+                    [kin.body_pos_w[:, b], kin.body_quat_w[:, b]], axis=-1
+                )
+            )
+            J = _jax.vmap(lambda k, b=b: body_jacobian(scene.world_model, k, b))(kin)
+            J = J[:, :, self._dof_cols]
+            jacs.append(jnp.concatenate([J[:, 3:6], J[:, 0:3]], axis=1))
+        frame_poses = jnp.stack(poses, axis=1)
+        jacobians = jnp.stack(jacs, axis=1)
+        joint_pos = self._asset.joint_pos_from_world(scene_state.phys.q)[
+            :, self._pink_joint_ids
+        ]
+        pink_targets = self._controller.compute(
+            targets, frame_poses, jacobians, joint_pos
+        )
+        est = scene_state.entities[self.cfg.asset_name]
+        est = self._asset.set_joint_position_target(
+            est, pink_targets, self._pink_joint_ids
+        )
+        if self._hand_joint_ids.size:
+            est = self._asset.set_joint_position_target(
+                est, hand_targets, self._hand_joint_ids
+            )
+        ents = dict(scene_state.entities)
+        ents[self.cfg.asset_name] = est
+        return scene_state._replace(entities=ents)
+
+
+@configclass
+class PinkInverseKinematicsActionCfg(ActionTermCfg):
+    """Reference ``pink_actions_cfg.PinkInverseKinematicsActionCfg``."""
+
+    class_type: type = PinkInverseKinematicsAction
+    pink_controlled_joint_names: list = MISSING
+    ik_urdf_fixed_joint_names: list = None  # parity only; TPU model is direct
+    hand_joint_names: list = None
+    controller: object = MISSING  # PinkIKControllerCfg
+
+    def __post_init__(self):
+        if self.hand_joint_names is None:
+            self.hand_joint_names = []

@@ -355,3 +355,35 @@ def apply_external_force_torque(env, scene_state, key, mask,
         jnp.where(mask[:, None, None], wrench, scene_state.phys.f_ext_w[:, ids])
     )
     return scene_state._replace(phys=scene_state.phys._replace(f_ext_w=f_ext))
+
+
+def reset_nodal_state_uniform(env, scene_state, key, mask,
+                              position_range: dict = None,
+                              velocity_range: dict = None,
+                              asset_cfg: SceneEntityCfg = None):
+    """Deformable-body reset: default nodal state plus a uniform rigid offset
+    (reference events.py:reset_nodal_state_uniform)."""
+    name = asset_cfg.name if asset_cfg is not None else "object"
+    soft = env._env.scene.deformable_objects[name]
+    est = scene_state.entities[name]
+    E = est.pos.shape[0]
+    position_range = position_range or {}
+    velocity_range = velocity_range or {}
+    keys = jax.random.split(key, 6)
+    off = jnp.stack(
+        [_u(keys[i], (E,), position_range.get(n, (0.0, 0.0)))
+         for i, n in enumerate(("x", "y", "z"))], axis=-1,
+    )
+    voff = jnp.stack(
+        [_u(keys[3 + i], (E,), velocity_range.get(n, (0.0, 0.0)))
+         for i, n in enumerate(("x", "y", "z"))], axis=-1,
+    )
+    fresh = soft.init_entity_state(E, env.scene.env_origins)
+    pos = fresh.pos + off[:, None, :]
+    vel = fresh.vel + voff[:, None, :]
+    est = soft.write_nodal_state_to_sim(
+        est, jnp.concatenate([pos, vel], axis=-1), mask
+    )
+    ents = dict(scene_state.entities)
+    ents[name] = est
+    return scene_state._replace(entities=ents)

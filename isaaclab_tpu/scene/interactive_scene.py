@@ -214,17 +214,22 @@ class InteractiveScene:
 
     def __getitem__(self, key: str):
         """Reference dict-style access (interactive_scene.py:589)."""
-        for registry in (self.articulations, self.rigid_objects, self.sensors, self.extras):
+        for registry in (
+            self.articulations, self.rigid_objects,
+            self.rigid_object_collections, self.deformable_objects,
+            self.sensors, self.extras,
+        ):
             if key in registry:
                 return registry[key]
         raise KeyError(
-            f"Scene entity '{key}' not found. Available: "
-            f"{list(self.articulations) + list(self.rigid_objects) + list(self.sensors)}"
+            f"Scene entity '{key}' not found. Available: {self.keys()}"
         )
 
     def keys(self):
         return (
-            list(self.articulations) + list(self.rigid_objects) + list(self.sensors)
+            list(self.articulations) + list(self.rigid_objects)
+            + list(self.rigid_object_collections)
+            + list(self.deformable_objects) + list(self.sensors)
         )
 
     # ------------------------------------------------------------------

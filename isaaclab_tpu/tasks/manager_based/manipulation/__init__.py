@@ -1,2 +1,2 @@
 """Manipulation task family (reference manager_based/manipulation/)."""
-from . import cabinet, lift, reach, stack  # noqa: F401
+from . import cabinet, inhand, lift, pick_place, reach, stack  # noqa: F401

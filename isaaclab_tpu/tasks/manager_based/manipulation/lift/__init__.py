@@ -47,3 +47,12 @@ gym.register(
         "rsl_rl_cfg_entry_point": f"{agents.__name__}.rsl_rl_ppo_cfg:LiftPPORunnerCfg",
     },
 )
+
+from .config_variants import FrankaTeddyBearLiftEnvCfg  # noqa: E402
+
+gym.register(
+    id="Isaac-Lift-Teddy-Bear-Franka-IK-Abs-v0",
+    entry_point="isaaclab_tpu.envs:ManagerBasedRLEnv",
+    disable_env_checker=True,
+    kwargs={"env_cfg_entry_point": FrankaTeddyBearLiftEnvCfg},
+)
