@@ -9,3 +9,9 @@ recorded or programmatic commands) plus a stdin keyboard fallback, keeping the
 from .device_base import DeviceBase  # noqa: F401
 from .keyboard import Se2Keyboard, Se3Keyboard  # noqa: F401
 from .replay import ReplayDevice  # noqa: F401
+from .stream_devices import (  # noqa: F401
+    Se2Gamepad,
+    Se2SpaceMouse,
+    Se3Gamepad,
+    Se3SpaceMouse,
+)
