@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import math as math_utils
 from . import spatial
@@ -242,21 +243,58 @@ def step(
     )
 
 
+_INTEGRATE_IDX_CACHE: dict = {}
+
+
+def _integrate_indices(model: RobotModel):
+    """Static gather/scatter index plan: all 1-dof joints integrate in ONE
+    vector op; free joints batch their quaternion exponentials together.
+    (The previous per-body Python loop emitted ~2 ops per body — on TPU the
+    substep is op-count-bound, not FLOP-bound.)"""
+    key = model.uid
+    if key not in _INTEGRATE_IDX_CACHE:
+        import numpy as _np
+
+        one_q, one_v = [], []
+        free_q, free_v = [], []
+        for b in range(model.nbody):
+            jt = int(model.jnt_type[b])
+            qs, vs = int(model.q_start[b]), int(model.v_start[b])
+            if jt == JOINT_FREE:
+                free_q.append(qs)
+                free_v.append(vs)
+            elif jt in (JOINT_REVOLUTE, JOINT_PRISMATIC):
+                one_q.append(qs)
+                one_v.append(vs)
+        _INTEGRATE_IDX_CACHE[key] = (
+            _np.asarray(one_q, dtype=_np.int32),
+            _np.asarray(one_v, dtype=_np.int32),
+            _np.asarray(free_q, dtype=_np.int32),
+            _np.asarray(free_v, dtype=_np.int32),
+        )
+    return _INTEGRATE_IDX_CACHE[key]
+
+
 def integrate_q(model: RobotModel, q, qd, dt: float):
     """Semi-implicit Euler position update; quaternion exponential for free
-    joints (body-frame angular velocity, right-multiplied)."""
+    joints (body-frame angular velocity, right-multiplied). Vectorized over
+    joints: one gather/scatter for every 1-dof joint, one batched quat
+    update for all free joints."""
+    one_q, one_v, free_q, free_v = _integrate_indices(model)
     q_new = q
-    for b in range(model.nbody):
-        jt = int(model.jnt_type[b])
-        qs, vs = int(model.q_start[b]), int(model.v_start[b])
-        if jt == JOINT_FREE:
-            # free-joint qd is world-frame: world ang vel left-multiplies
-            quat = math_utils.normalize(q[qs + 3 : qs + 7])
-            pos_new = q[qs : qs + 3] + qd[vs + 3 : vs + 6] * dt
-            dq = spatial.quat_exp_approx(qd[vs : vs + 3] * dt)
-            quat_new = math_utils.normalize(math_utils.quat_mul(dq, quat))
-            q_new = q_new.at[qs : qs + 3].set(pos_new)
-            q_new = q_new.at[qs + 3 : qs + 7].set(quat_new)
-        elif jt in (JOINT_REVOLUTE, JOINT_PRISMATIC):
-            q_new = q_new.at[qs].set(q[qs] + qd[vs] * dt)
+    if one_q.size:
+        q_new = q_new.at[one_q].add(qd[one_v] * dt)
+    if free_q.size:
+        # gather (F, 7) free states and (F, 6) velocities
+        qidx = free_q[:, None] + np.arange(7)[None]
+        vidx = free_v[:, None] + np.arange(6)[None]
+        fs = q[qidx]  # (F, 7)
+        fv = qd[vidx]  # (F, 6) [ang(world), lin]
+        quat = math_utils.normalize(fs[:, 3:7])
+        pos_new = fs[:, 0:3] + fv[:, 3:6] * dt
+        dq = spatial.quat_exp_approx(fv[:, 0:3] * dt)
+        quat_new = math_utils.normalize(math_utils.quat_mul(dq, quat))
+        q_new = q_new.at[qidx].set(
+            jnp.concatenate([pos_new, quat_new], axis=-1)
+        )
     return q_new

@@ -43,18 +43,23 @@ def main():
         s, _ = jax.lax.scan(body, s, None, length=chunk)
         return s
 
+    # sync via device_get of a scalar — over the axon tunnel,
+    # block_until_ready can return before queued work completes (see bench.py)
+    def sync(s):
+        jax.device_get(s.scene.phys.q[0, 0])
+
     state = run_chunk(state)
-    jax.block_until_ready(state.scene.phys.q)
+    sync(state)
     n_calls = 0
     t0 = time.perf_counter()
     while True:
         state = run_chunk(state)
         n_calls += 1
-        if n_calls % 8 == 0:
-            jax.block_until_ready(state.scene.phys.q)
+        if n_calls % 4 == 0:
+            sync(state)
             if time.perf_counter() - t0 > 3.0:
                 break
-    jax.block_until_ready(state.scene.phys.q)
+    sync(state)
     dt = time.perf_counter() - t0
     fps = n_calls * chunk * E / dt
     print(json.dumps({
