@@ -332,9 +332,21 @@ def solve_constraints(
     )
     lam0 = jnp.where(row_active, lam0, 0.0)
 
-    lam = apgd_solve(
-        J_t, MinvJT, b, diag, row_active, mu, lam0, ncon, n_lim,
-        cfg.iterations,
+    # dispatch: pure-XLA APGD when called unbatched; under the engine's env
+    # vmap the custom_vmap rule routes the whole batch to the Pallas kernel
+    # (pallas_solver.py) with the Jacobian resident in VMEM
+    from .pallas_solver import make_apgd_dispatch
+
+    dispatch = make_apgd_dispatch(
+        ncon, n_lim, cfg.iterations,
+        lambda J_t_, MinvJT_, b_, diag_, active_f_, mu_, lam0_: apgd_solve(
+            J_t_, MinvJT_, b_, diag_, active_f_ > 0.5, mu_, lam0_, ncon,
+            n_lim, cfg.iterations,
+        ),
+    )
+    mu_arg = mu if ncon else jnp.zeros((0,), J_t.dtype)
+    lam = dispatch(
+        J_t, MinvJT, b, diag, row_active.astype(J_t.dtype), mu_arg, lam0
     )
 
     qd = v_free + MinvJT @ lam

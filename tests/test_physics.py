@@ -399,3 +399,34 @@ class TestBoxBoxContact:
             lambda s: simulate(model, plan, s, drive, params, cfg, 360)
         )(state)
         np.testing.assert_allclose(float(final.q[9]), 0.05, atol=0.01)
+
+
+class TestPallasSolverDispatch:
+    """The custom_vmap APGD dispatch must match the per-env reference path
+    (the Pallas kernel itself is validated on TPU; on CPU the batch rule
+    falls back to vmap of the XLA loop)."""
+
+    def test_batched_dispatch_matches_reference(self):
+        from isaaclab_tpu.physics.pallas_solver import make_apgd_dispatch
+        from isaaclab_tpu.physics.solver import apgd_solve
+
+        E, nv, ncon, n_lim, iters = 4, 6, 3, 4, 8
+        R = 3 * ncon + n_lim
+        rng = np.random.RandomState(1)
+        J = jnp.asarray(rng.randn(E, nv, R).astype(np.float32) * 0.3)
+        MJ = jnp.asarray(rng.randn(E, nv, R).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.randn(E, R).astype(np.float32))
+        diag = jnp.asarray(np.abs(rng.randn(E, R)).astype(np.float32) + 0.1)
+        act = jnp.asarray((rng.rand(E, R) > 0.2).astype(np.float32))
+        mu = jnp.asarray(0.7 * np.ones((E, ncon), np.float32))
+        lam0 = jnp.zeros((E, R), jnp.float32)
+
+        ref_fn = lambda Jt, mj, bb, dd, aa, mm, ll: apgd_solve(
+            Jt, mj, bb, dd, aa > 0.5, mm, ll, ncon, n_lim, iters
+        )
+        dispatch = make_apgd_dispatch(ncon, n_lim, iters, ref_fn)
+        lam_d = jax.vmap(dispatch)(J, MJ, b, diag, act, mu, lam0)
+        lam_r = jax.vmap(ref_fn)(J, MJ, b, diag, act, mu, lam0)
+        np.testing.assert_allclose(
+            np.asarray(lam_d), np.asarray(lam_r), rtol=1e-5, atol=1e-6
+        )
