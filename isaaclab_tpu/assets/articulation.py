@@ -88,7 +88,8 @@ class Articulation(AssetBase):
         self.body_names = list(model.body_names)
         self.num_joints = model.nu
         self.num_bodies = model.nbody
-        self.num_fixed_tendons = 0
+        self.num_fixed_tendons = model.ntendon
+        self.fixed_tendon_names = list(model.tendon_names)
         self._actuators = {}
         # resolved at bind time
         self._default_joint_pos = None
@@ -105,6 +106,12 @@ class Articulation(AssetBase):
     def find_bodies(self, name_keys, preserve_order: bool = False):
         return string_utils.resolve_matching_names(
             name_keys, self.body_names, preserve_order
+        )
+
+    def find_fixed_tendons(self, name_keys, preserve_order: bool = False):
+        """Reference articulation.py:247-272."""
+        return string_utils.resolve_matching_names(
+            name_keys, self.fixed_tendon_names, preserve_order
         )
 
     @property
@@ -283,6 +290,79 @@ class Articulation(AssetBase):
                 else jnp.where(env_mask[:, None], target, cur)
             )
         return est._replace(**{field: new})
+
+    # ------------------------------------------------------------------
+    # Fixed tendons (reference articulation.py:958-1145). The reference
+    # buffers set_fixed_tendon_* writes and pushes them on
+    # write_fixed_tendon_properties_to_sim; here each setter is a pure
+    # transform on the scene's batched ``BodyParams`` pytree (the engine
+    # reads tendon properties from there every substep, so the "write to
+    # sim" is implicit).
+    # ------------------------------------------------------------------
+    def _tendon_ids_world(self, fixed_tendon_ids=None) -> np.ndarray:
+        base = self.slice.tendon_start
+        if fixed_tendon_ids is None:
+            return base + np.arange(self.num_fixed_tendons, dtype=np.int32)
+        return base + np.asarray(fixed_tendon_ids, dtype=np.int32)
+
+    def _set_tendon_prop(self, params, field, value, fixed_tendon_ids, env_mask):
+        ids = self._tendon_ids_world(fixed_tendon_ids)
+        cur = getattr(params, field)
+        new_sel = (
+            value
+            if env_mask is None
+            else jnp.where(env_mask[:, None], value, cur[:, ids])
+        )
+        return params._replace(**{field: cur.at[:, ids].set(new_sel)})
+
+    def set_fixed_tendon_stiffness(self, params, stiffness,
+                                   fixed_tendon_ids=None, env_mask=None):
+        return self._set_tendon_prop(
+            params, "tendon_stiffness", stiffness, fixed_tendon_ids, env_mask
+        )
+
+    def set_fixed_tendon_damping(self, params, damping,
+                                 fixed_tendon_ids=None, env_mask=None):
+        return self._set_tendon_prop(
+            params, "tendon_damping", damping, fixed_tendon_ids, env_mask
+        )
+
+    def set_fixed_tendon_limit_stiffness(self, params, limit_stiffness,
+                                         fixed_tendon_ids=None, env_mask=None):
+        return self._set_tendon_prop(
+            params, "tendon_limit_stiffness", limit_stiffness,
+            fixed_tendon_ids, env_mask,
+        )
+
+    def set_fixed_tendon_position_limit(self, params, limit,
+                                        fixed_tendon_ids=None, env_mask=None):
+        """``limit``: (E, n, 2) lower/upper."""
+        params = self._set_tendon_prop(
+            params, "tendon_limit_lower", limit[..., 0], fixed_tendon_ids,
+            env_mask,
+        )
+        return self._set_tendon_prop(
+            params, "tendon_limit_upper", limit[..., 1], fixed_tendon_ids,
+            env_mask,
+        )
+
+    def set_fixed_tendon_rest_length(self, params, rest_length,
+                                     fixed_tendon_ids=None, env_mask=None):
+        return self._set_tendon_prop(
+            params, "tendon_rest_length", rest_length, fixed_tendon_ids,
+            env_mask,
+        )
+
+    def set_fixed_tendon_offset(self, params, offset,
+                                fixed_tendon_ids=None, env_mask=None):
+        return self._set_tendon_prop(
+            params, "tendon_offset", offset, fixed_tendon_ids, env_mask
+        )
+
+    def write_fixed_tendon_properties_to_sim(self, params, *a, **kw):
+        """No-op for API parity: setters already returned the updated
+        ``BodyParams`` (pure-state design has no deferred write)."""
+        return params
 
     # ------------------------------------------------------------------
     # Actuator pipeline (reference articulation.py:_apply_actuator_model:1432)

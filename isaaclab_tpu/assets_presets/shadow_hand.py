@@ -65,6 +65,15 @@ def build_shadow_hand_model():
             b.add_geom(parent, GEOM_CAPSULE, (0.009, L / 2), pos=(0, 0, L / 2),
                        friction=1.2,
                        name=f"{fn}_tip" if pi == 2 else "")
+        # distal coupling tendon: J0 follows J1 (Shadow's underactuated
+        # distal pair; reference shadow_hand.py:46 FixedTendonPropertiesCfg
+        # limit_stiffness=30, damping=0.1 — zero-width limit band enforces
+        # L = q_J1 - q_J0 = 0)
+        b.add_tendon(
+            f"robot0_{fn}J1_tendon",
+            {f"robot0_{fn}J1": 1.0, f"robot0_{fn}J0": -1.0},
+            limit_stiffness=30.0, damping=0.1, limits=(0.0, 0.0),
+        )
     # thumb: 5 joints
     th = b.add_body(
         "robot0_TH_base", palm, JOINT_REVOLUTE, jnt_axis=(0, 0, 1),

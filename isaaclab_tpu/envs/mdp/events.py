@@ -34,6 +34,18 @@ def _op(current, new, operation):
     raise ValueError(operation)
 
 
+def _sample(key, shape, params: tuple, distribution: str = "uniform"):
+    """Reference events.py:_randomize_prop_by_op distribution switch."""
+    if distribution == "uniform":
+        return jax.random.uniform(key, shape, minval=params[0], maxval=params[1])
+    if distribution == "log_uniform":
+        lo, hi = jnp.log(params[0]), jnp.log(params[1])
+        return jnp.exp(jax.random.uniform(key, shape, minval=lo, maxval=hi))
+    if distribution == "gaussian":
+        return params[0] + params[1] * jax.random.normal(key, shape)
+    raise ValueError(distribution)
+
+
 # -----------------------------------------------------------------------------
 # Reset-mode state resets (reference events.py:700-1000)
 # -----------------------------------------------------------------------------
@@ -300,6 +312,57 @@ def randomize_joint_parameters(env, scene_state, key, mask,
                       params.limit_upper[:, ids])
         )
         params = params._replace(limit_upper=hi)
+    return scene_state._replace(body_params=params)
+
+
+def randomize_fixed_tendon_parameters(env, scene_state, key, mask,
+                                      stiffness_distribution_params: tuple = None,
+                                      damping_distribution_params: tuple = None,
+                                      limit_stiffness_distribution_params: tuple = None,
+                                      lower_limit_distribution_params: tuple = None,
+                                      upper_limit_distribution_params: tuple = None,
+                                      rest_length_distribution_params: tuple = None,
+                                      offset_distribution_params: tuple = None,
+                                      operation: str = "scale",
+                                      distribution: str = "uniform",
+                                      asset_cfg: SceneEntityCfg = _DEFAULT):
+    """Reference events.py:629 randomize_fixed_tendon_parameters: per-env
+    randomization of the engine's fixed-tendon properties (BodyParams
+    tendon_* fields)."""
+    entity = _entity(env, asset_cfg)
+    params = scene_state.body_params
+    s = entity.slice
+    ids = (
+        jnp.arange(s.tendon_start, s.tendon_start + s.tendon_count)
+        if isinstance(asset_cfg.fixed_tendon_ids, slice)
+        else jnp.asarray(asset_cfg.fixed_tendon_ids) + s.tendon_start
+    )
+    E = env.num_envs
+    wm = entity.world_model
+    specs = [
+        ("tendon_stiffness", wm.tendon_stiffness, stiffness_distribution_params),
+        ("tendon_damping", wm.tendon_damping, damping_distribution_params),
+        ("tendon_limit_stiffness", wm.tendon_limit_stiffness,
+         limit_stiffness_distribution_params),
+        ("tendon_limit_lower", wm.tendon_limit_lower,
+         lower_limit_distribution_params),
+        ("tendon_limit_upper", wm.tendon_limit_upper,
+         upper_limit_distribution_params),
+        ("tendon_rest_length", wm.tendon_rest_length,
+         rest_length_distribution_params),
+        ("tendon_offset", wm.tendon_offset, offset_distribution_params),
+    ]
+    keys = jax.random.split(key, len(specs))
+    for k, (field, default, dist_params) in zip(keys, specs):
+        if dist_params is None:
+            continue
+        sample = _sample(k, (E, ids.shape[0]), dist_params, distribution)
+        base = jnp.asarray(default)[ids][None]
+        cur = getattr(params, field)
+        new = cur.at[:, ids].set(
+            jnp.where(mask[:, None], _op(base, sample, operation), cur[:, ids])
+        )
+        params = params._replace(**{field: new})
     return scene_state._replace(body_params=params)
 
 

@@ -23,6 +23,8 @@ class SceneEntityCfg:
     joint_ids: object = slice(None)
     body_names: object = None
     body_ids: object = slice(None)
+    fixed_tendon_names: object = None
+    fixed_tendon_ids: object = slice(None)
     preserve_order: bool = False
 
     def resolve(self, scene):
@@ -36,4 +38,12 @@ class SceneEntityCfg:
             ids, names = entity.find_bodies(self.body_names, self.preserve_order)
             self.body_ids = np.asarray(ids, dtype=np.int32)
             self.body_names = names
+        if self.fixed_tendon_names is not None and isinstance(
+            self.fixed_tendon_ids, slice
+        ):
+            ids, names = entity.find_fixed_tendons(
+                self.fixed_tendon_names, self.preserve_order
+            )
+            self.fixed_tendon_ids = np.asarray(ids, dtype=np.int32)
+            self.fixed_tendon_names = names
         return self

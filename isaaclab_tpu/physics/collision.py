@@ -329,6 +329,24 @@ class CollisionPlan:
             num_pair_contacts(ga, gb) for ga, gb in self.pairs
         )
 
+    def static_bodies(self):
+        """Static (body_a, body_b) index arrays in detect()'s emission order
+        (used by the batch-level step to reattach static metadata to the
+        vmapped dynamic contact fields)."""
+        body_a, body_b = [], []
+        for g in self.ground_geoms:
+            k = num_ground_candidates(g)
+            body_a += [g.body] * k
+            body_b += [-1] * k
+        for ga, gb in self.pairs:
+            k = num_pair_contacts(ga, gb)
+            body_a += [ga.body] * k
+            body_b += [gb.body] * k
+        return (
+            np.asarray(body_a, dtype=np.int32),
+            np.asarray(body_b, dtype=np.int32),
+        )
+
     def detect(self, kin: Kinematics, terrain=None, terrain_offset=None) -> Contacts:
         """Compute all candidate contacts for one env instance.
 

@@ -30,6 +30,24 @@ from .model import JOINT_FREE, JOINT_PRISMATIC, JOINT_REVOLUTE, RobotModel
 from .solver import SolverCfg, SolveResult, solve_constraints
 
 
+def use_fused_path() -> bool:
+    """Whether scene stepping should use the batch-last fused dynamics
+    (``step_batch``) instead of ``vmap(step)``.
+
+    The fused path trace-time-unrolls all small-matrix algebra into scalar
+    lanes — ~10x faster at runtime on TPU, but its large elementwise graphs
+    compile ~10x slower under XLA:CPU with no runtime win there (246s vs
+    ~25s for an Anymal env step). Default: fused on accelerators, per-env on
+    CPU. Override with ISAACLAB_TPU_FUSED=0/1.
+    """
+    import os
+
+    flag = os.environ.get("ISAACLAB_TPU_FUSED")
+    if flag is not None:
+        return flag != "0"
+    return jax.default_backend() != "cpu"
+
+
 class JointDrive(NamedTuple):
     """Per-articulated-dof drive targets — the PhysX implicit joint drive
     equivalent (reference articulation.py:196-200 pushes these as
@@ -59,6 +77,16 @@ class BodyParams(NamedTuple):
     friction_scale: jnp.ndarray  # () contact friction multiplier
     limit_lower: jnp.ndarray  # (nu,)
     limit_upper: jnp.ndarray  # (nu,)
+    # fixed tendon properties, per-env randomizable (reference
+    # articulation.py:958-1145 set_fixed_tendon_* +
+    # events.py:randomize_fixed_tendon_parameters); all (ntendon,)
+    tendon_stiffness: jnp.ndarray
+    tendon_damping: jnp.ndarray
+    tendon_limit_stiffness: jnp.ndarray
+    tendon_limit_lower: jnp.ndarray
+    tendon_limit_upper: jnp.ndarray
+    tendon_rest_length: jnp.ndarray
+    tendon_offset: jnp.ndarray
 
     @staticmethod
     def from_model(model: RobotModel) -> "BodyParams":
@@ -71,6 +99,13 @@ class BodyParams(NamedTuple):
             friction_scale=jnp.asarray(1.0),
             limit_lower=jnp.asarray(model.dof_limit_lower),
             limit_upper=jnp.asarray(model.dof_limit_upper),
+            tendon_stiffness=jnp.asarray(model.tendon_stiffness),
+            tendon_damping=jnp.asarray(model.tendon_damping),
+            tendon_limit_stiffness=jnp.asarray(model.tendon_limit_stiffness),
+            tendon_limit_lower=jnp.asarray(model.tendon_limit_lower),
+            tendon_limit_upper=jnp.asarray(model.tendon_limit_upper),
+            tendon_rest_length=jnp.asarray(model.tendon_rest_length),
+            tendon_offset=jnp.asarray(model.tendon_offset),
         )
 
 
@@ -184,6 +219,35 @@ def step(
         tau_d = tau_d - params.damping * qd_arts
         tau = tau.at[jnp.asarray(model.dof_v_index)].add(tau_d)
 
+    if model.ntendon:
+        # fixed tendons: L = offset + coef @ q; spring to rest length plus
+        # one-sided limit springs (reference fixed-tendon semantics,
+        # articulation.py:958-1145). Stiffness/damping are folded into the
+        # inertia as full coupling blocks (implicit Euler on the spring) so
+        # shadow-hand-scale limit_stiffness (~30 on ~1e-5 kg m^2 phalanges)
+        # stays stable at dt = 1/120.
+        coef = jnp.asarray(np.asarray(model.tendon_coef, dtype=np.float32))
+        L = params.tendon_offset + coef @ q_arts
+        Ldot = coef @ qd_arts
+        out_lo = L < params.tendon_limit_lower
+        out_hi = L > params.tendon_limit_upper
+        lim_err = jnp.where(
+            out_lo, params.tendon_limit_lower - L, 0.0
+        ) + jnp.where(out_hi, params.tendon_limit_upper - L, 0.0)
+        F = (
+            params.tendon_stiffness * (params.tendon_rest_length - L)
+            - params.tendon_damping * Ldot
+            + params.tendon_limit_stiffness * lim_err
+        )
+        vi = jnp.asarray(model.dof_v_index)
+        tau = tau.at[vi].add(coef.T @ F)
+        k_eff = params.tendon_stiffness + params.tendon_limit_stiffness * (
+            out_lo | out_hi
+        )
+        K_t = coef.T @ (k_eff[:, None] * coef)
+        D_t = coef.T @ (params.tendon_damping[:, None] * coef)
+        H = H.at[jnp.ix_(vi, vi)].add(dt * D_t + dt * dt * K_t)
+
     from .linalg import chol_factor, chol_solve
 
     H_chol = chol_factor(H)
@@ -224,6 +288,153 @@ def step(
             ]
         )
         if contacts.depth.shape[0] or n_lim
+        else state.warm_lambda
+    )
+    if lam.shape != state.warm_lambda.shape:
+        lam = state.warm_lambda
+
+    return (
+        PhysicsState(
+            q=q_new,
+            qd=qd_new,
+            qd_prev=state.qd,
+            f_ext_w=state.f_ext_w,
+            warm_lambda=lam,
+            contact_force_w=result.contact_force_w,
+        ),
+        kin,
+        contacts,
+    )
+
+
+def step_batch(
+    model: RobotModel,
+    plan: CollisionPlan,
+    state: PhysicsState,  # batched: every leaf has leading (E,)
+    drive: JointDrive,  # batched (E, nu)
+    params: BodyParams,  # batched
+    cfg: EngineCfg,
+    terrain=None,
+    terrain_offset=None,  # (E, 2) per-env terrain cell offsets
+) -> tuple[PhysicsState, "Kinematics", Contacts]:
+    """Whole-batch physics step on the batch-last fused dynamics path.
+
+    Semantically equivalent to ``vmap(step)`` (tests/test_fused_dynamics.py)
+    but ~10x faster on TPU: the free dynamics run as trace-time-unrolled
+    scalar algebra over dense (E,) lanes (physics/fused.py) instead of
+    tile-padded (E, nv, nv) matrices.
+    """
+    from . import fused
+    from .solver import limited_dofs, solve_constraints_batch
+
+    dt = cfg.dt
+    E = state.q.shape[0]
+
+    if model.nu:
+        q_idx = jnp.asarray(
+            [int(model.q_start[b]) for b in model.dof_body]
+        )
+        v_idx = jnp.asarray(model.dof_v_index)
+        q_arts = state.q[:, q_idx]  # (E, nu)
+        qd_arts = state.qd[:, v_idx]
+        tau_arts = drive_torque(model, drive, q_arts, qd_arts)
+        tau_arts = tau_arts - params.damping * qd_arts
+        H_diag_extra = dt * (drive.kd + params.damping)
+    else:
+        q_arts = jnp.zeros((E, 0))
+        qd_arts = jnp.zeros((E, 0))
+        tau_arts = jnp.zeros((E, 0))
+        H_diag_extra = None
+
+    H_pairs: dict = {}
+    if model.ntendon:
+        # fixed tendons (see ``step``): spring + limit-band force, implicit
+        # stiffness/damping folded into H as static-sparsity pair updates
+        coef = np.asarray(model.tendon_coef, dtype=np.float32)  # (nt, nu)
+        coef_j = jnp.asarray(coef)
+        L_t = params.tendon_offset + q_arts @ coef_j.T  # (E, nt)
+        Ldot = qd_arts @ coef_j.T
+        out_lo = L_t < params.tendon_limit_lower
+        out_hi = L_t > params.tendon_limit_upper
+        lim_err = jnp.where(out_lo, params.tendon_limit_lower - L_t, 0.0) + (
+            jnp.where(out_hi, params.tendon_limit_upper - L_t, 0.0)
+        )
+        F = (
+            params.tendon_stiffness * (params.tendon_rest_length - L_t)
+            - params.tendon_damping * Ldot
+            + params.tendon_limit_stiffness * lim_err
+        )
+        tau_arts = tau_arts + F @ coef_j
+        k_eff = params.tendon_stiffness + params.tendon_limit_stiffness * (
+            out_lo | out_hi
+        )
+        vi_list = [int(v) for v in model.dof_v_index]
+        for t in range(coef.shape[0]):
+            nz = np.nonzero(coef[t])[0]
+            k_t = k_eff[:, t]
+            d_t = params.tendon_damping[:, t]
+            for ii in nz:
+                for jj in nz:
+                    if ii < jj:
+                        continue
+                    cc = float(coef[t, ii] * coef[t, jj])
+                    key = (vi_list[ii], vi_list[jj])
+                    val = cc * (dt * d_t + dt * dt * k_t)
+                    H_pairs[key] = H_pairs.get(key, 0.0) + val
+
+    tau_v = jnp.zeros((E, model.nv))
+    if model.nu:
+        tau_v = tau_v.at[:, v_idx].set(tau_arts)
+
+    dyn = fused.free_dynamics_batch(
+        model, state.q, state.qd, tau_v, params, dt,
+        tuple(cfg.gravity), f_ext_w=state.f_ext_w,
+        H_diag_extra=H_diag_extra, H_pairs_extra=H_pairs or None,
+    )
+    kin = dyn.kin
+
+    # narrowphase per env (static candidate set; cheap — 0.1 ms at E=4096)
+    def _detect(kin_e, off):
+        c = plan.detect(kin_e, terrain, off)
+        return c.pos, c.normal, c.depth, c.friction, c.restitution
+
+    if terrain_offset is None:
+        pos, nrm, dep, fr, re = jax.vmap(lambda k: _detect(k, None))(kin)
+    else:
+        pos, nrm, dep, fr, re = jax.vmap(_detect)(kin, terrain_offset)
+    body_a, body_b = plan.static_bodies()
+    fscale = jnp.reshape(params.friction_scale, (-1, 1))  # (E, 1) or (1, 1)
+    contacts = Contacts(
+        pos=pos, normal=nrm, depth=dep, body_a=body_a, body_b=body_b,
+        friction=fr * fscale, restitution=re,
+    )
+
+    result = solve_constraints_batch(
+        model, kin, dyn.L, dyn.v_free, contacts, q_arts, dt, cfg.solver,
+        limit_lower=params.limit_lower, limit_upper=params.limit_upper,
+        warm_lambda=state.warm_lambda,
+    )
+
+    qd_new = jnp.clip(result.qd, -cfg.max_velocity, cfg.max_velocity)
+    q_new = jax.vmap(lambda qq, dd: integrate_q(model, qq, dd, dt))(
+        state.q, qd_new
+    )
+
+    from .solver import num_limit_rows
+
+    n_lim = num_limit_rows(model)
+    ncon = contacts.depth.shape[1]
+    lam = (
+        jnp.concatenate(
+            [
+                result.contact_impulse[:, :, 0],
+                result.contact_impulse[:, :, 1],
+                result.contact_impulse[:, :, 2],
+                jnp.zeros((E, n_lim)),
+            ],
+            axis=1,
+        )
+        if ncon or n_lim
         else state.warm_lambda
     )
     if lam.shape != state.warm_lambda.shape:

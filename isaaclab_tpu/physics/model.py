@@ -106,6 +106,19 @@ class RobotModel:
     dof_friction: np.ndarray = field(default_factory=lambda: np.zeros(0))
     dof_effort_limit: np.ndarray = field(default_factory=lambda: np.zeros(0))
     dof_velocity_limit: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    # --- fixed tendons (PhysX fixed tendons: linear couplings over joint
+    # positions; reference articulation.py:958-1145, schemas.py fixed-tendon
+    # properties). ``tendon_coef`` is dense (ntendon, nu): tendon length
+    # L = offset + coef @ q_arts; joint torque tau = coef^T * F(L, Ldot). ---
+    tendon_names: list = field(default_factory=list)
+    tendon_coef: np.ndarray = field(default_factory=lambda: np.zeros((0, 0)))
+    tendon_stiffness: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tendon_damping: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tendon_limit_stiffness: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tendon_limit_lower: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tendon_limit_upper: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tendon_rest_length: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tendon_offset: np.ndarray = field(default_factory=lambda: np.zeros(0))
     # --- collision ---
     geoms: list = field(default_factory=list)
     # --- misc ---
@@ -157,7 +170,14 @@ class RobotModel:
         self.floating_base = bool(
             self.nbody > 0 and self.jnt_type[0] == JOINT_FREE
         )
+        self.tendon_coef = np.asarray(self.tendon_coef, dtype=np.float64).reshape(
+            len(self.tendon_names), self.nu
+        )
         return self
+
+    @property
+    def ntendon(self) -> int:
+        return len(self.tendon_names)
 
     # ------------------------------------------------------------------
     @property
@@ -192,6 +212,8 @@ class EntitySlice:
     dof_count: int
     geom_start: int
     geom_count: int
+    tendon_start: int = 0
+    tendon_count: int = 0
 
 
 def merge_models(models: list, names: list) -> tuple:
@@ -205,7 +227,7 @@ def merge_models(models: list, names: list) -> tuple:
     """
     out = RobotModel(name="world")
     slices = {}
-    body_off = q_off = v_off = dof_off = geom_off = 0
+    body_off = q_off = v_off = dof_off = geom_off = tendon_off = 0
     parts: dict = {k: [] for k in (
         "body_names", "parent", "jnt_type", "jnt_axis", "jnt_pos", "jnt_quat",
         "body_pos", "body_quat", "jnt_names", "mass", "com", "inertia",
@@ -221,6 +243,7 @@ def merge_models(models: list, names: list) -> tuple:
             v_start=v_off, v_count=m.nv,
             dof_start=dof_off, dof_count=m.nu,
             geom_start=geom_off, geom_count=len(m.geoms),
+            tendon_start=tendon_off, tendon_count=m.ntendon,
         )
         parts["body_names"] += [f"{name}/{n}" for n in m.body_names]
         parts["parent"].append(
@@ -242,6 +265,7 @@ def merge_models(models: list, names: list) -> tuple:
         v_off += m.nv
         dof_off += m.nu
         geom_off += len(m.geoms)
+        tendon_off += m.ntendon
 
     def cat(key, shape_tail=()):
         arrs = parts[key]
@@ -272,6 +296,30 @@ def merge_models(models: list, names: list) -> tuple:
     out.dof_effort_limit = cat("dof_effort_limit")
     out.dof_velocity_limit = cat("dof_velocity_limit")
     out.geoms = parts["geoms"]
+    # fixed tendons: block-place each entity's (nt, nu_e) coef matrix into the
+    # world (ntendon, nu_world) coupling matrix
+    nt_total = sum(m.ntendon for m in models)
+    coef = np.zeros((nt_total, dof_off))
+    t_names: list = []
+    t_params = {k: [] for k in (
+        "tendon_stiffness", "tendon_damping", "tendon_limit_stiffness",
+        "tendon_limit_lower", "tendon_limit_upper", "tendon_rest_length",
+        "tendon_offset",
+    )}
+    t_row = 0
+    for m, name in zip(models, names):
+        if m.ntendon:
+            s = slices[name]
+            coef[t_row : t_row + m.ntendon,
+                 s.dof_start : s.dof_start + s.dof_count] = m.tendon_coef
+            t_names += list(m.tendon_names)
+            for k in t_params:
+                t_params[k].append(getattr(m, k))
+            t_row += m.ntendon
+    out.tendon_names = t_names
+    out.tendon_coef = coef
+    for k, arrs in t_params.items():
+        setattr(out, k, np.concatenate(arrs) if arrs else np.zeros(0))
     return out.finalize(), slices
 
 
@@ -306,6 +354,7 @@ class ModelBuilder:
         self.dof_effort_limit: list = []
         self.dof_velocity_limit: list = []
         self.geoms: list = []
+        self.tendons: list = []  # (name, {joint_name: coef}, params dict)
 
     def add_body(
         self,
@@ -378,6 +427,29 @@ class ModelBuilder:
             )
         )
 
+    def add_tendon(
+        self,
+        name: str,
+        joints: dict,
+        stiffness: float = 0.0,
+        damping: float = 0.0,
+        limit_stiffness: float = 0.0,
+        limits=(-1e9, 1e9),
+        rest_length: float = 0.0,
+        offset: float = 0.0,
+    ):
+        """Add a fixed tendon: linear coupling ``L = offset + sum c_i q_i``
+        over the named 1-dof joints (PhysX fixed tendon; reference
+        sim/schemas ``FixedTendonPropertiesCfg``). Spring pulls L toward
+        ``rest_length``; ``limit_stiffness`` activates outside ``limits``."""
+        self.tendons.append((
+            name, dict(joints),
+            dict(stiffness=stiffness, damping=damping,
+                 limit_stiffness=limit_stiffness, limit_lower=limits[0],
+                 limit_upper=limits[1], rest_length=rest_length,
+                 offset=offset),
+        ))
+
     def build(self) -> RobotModel:
         n = len(self.body_names)
         limits = np.asarray(self.dof_limits) if self.dof_limits else np.zeros((0, 2))
@@ -407,4 +479,25 @@ class ModelBuilder:
             geoms=list(self.geoms),
             name=self.name,
         )
+        if self.tendons:
+            nt, nu = len(self.tendons), len(self.dof_names)
+            coef = np.zeros((nt, nu))
+            pk = ("stiffness", "damping", "limit_stiffness", "limit_lower",
+                  "limit_upper", "rest_length", "offset")
+            pvals = {k: np.zeros(nt) for k in pk}
+            model.tendon_names = []
+            for t, (tname, joints, params) in enumerate(self.tendons):
+                model.tendon_names.append(tname)
+                for jname, c in joints.items():
+                    coef[t, self.dof_names.index(jname)] = c
+                for k in pk:
+                    pvals[k][t] = params[k]
+            model.tendon_coef = coef
+            model.tendon_stiffness = pvals["stiffness"]
+            model.tendon_damping = pvals["damping"]
+            model.tendon_limit_stiffness = pvals["limit_stiffness"]
+            model.tendon_limit_lower = pvals["limit_lower"]
+            model.tendon_limit_upper = pvals["limit_upper"]
+            model.tendon_rest_length = pvals["rest_length"]
+            model.tendon_offset = pvals["offset"]
         return model.finalize()

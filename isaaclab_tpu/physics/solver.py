@@ -364,6 +364,138 @@ def solve_constraints(
     return SolveResult(qd=qd, contact_impulse=imp, contact_force_w=contact_force_w)
 
 
+def solve_constraints_batch(
+    model: RobotModel,
+    kin_b,  # batched Kinematics (leading E)
+    L_comps,  # Cholesky components from fused.free_dynamics_batch
+    v_free,  # (E, nv)
+    contacts_b,  # Contacts with (E, ncon, ...) dynamic fields, static bodies
+    q_arts,  # (E, nu)
+    dt: float,
+    cfg: SolverCfg,
+    limit_lower=None,  # (E, nu)
+    limit_upper=None,
+    warm_lambda=None,  # (E, nrows)
+):
+    """Batch-level constraint solve on the batch-last dynamics path.
+
+    Same math as :func:`solve_constraints` (vmapped), but M^-1 J^T comes from
+    (E, R)-slab substitution over the fused Cholesky components instead of a
+    per-env unrolled solve on tile-padded (E, nv, nv) operands.
+    """
+    from .collision import Contacts
+    from .fused import chol_solve_slabs
+
+    E = v_free.shape[0]
+    ncon = contacts_b.depth.shape[1]
+    lim_idx = limited_dofs(model)
+    n_lim = 2 * len(lim_idx)
+    nrows = 3 * ncon + n_lim
+
+    if nrows == 0:
+        return SolveResult(
+            qd=v_free,
+            contact_impulse=jnp.zeros((E, 0, 3)),
+            contact_force_w=jnp.zeros((E, 0, 3)),
+        )
+
+    if ncon:
+        def _jac(kin_e, pos, normal):
+            con = Contacts(
+                pos=pos, normal=normal, depth=pos[:, 0],
+                body_a=contacts_b.body_a, body_b=contacts_b.body_b,
+                friction=None, restitution=None,
+            )
+            return contact_jacobians_t(model, kin_e, con)
+
+        J_t = jax.vmap(_jac)(kin_b, contacts_b.pos, contacts_b.normal)
+    else:
+        J_t = jnp.zeros((E, model.nv, 0))
+    if n_lim:
+        lim_block = jnp.broadcast_to(
+            jnp.asarray(limit_rows_t(model), J_t.dtype)[None],
+            (E, model.nv, n_lim),
+        )
+        J_t = jnp.concatenate([J_t, lim_block], axis=2)
+
+    MinvJT = chol_solve_slabs(L_comps, J_t)  # (E, nv, nrows)
+    diag = jnp.clip(jnp.einsum("evr,evr->er", J_t, MinvJT), 1e-8, None)
+
+    b = jnp.einsum("ev,evr->er", v_free, J_t)
+    if ncon:
+        v_n_pre = b[:, :ncon]
+        rest = contacts_b.restitution * jnp.where(
+            v_n_pre < -cfg.restitution_threshold, v_n_pre, 0.0
+        )
+        pen = jnp.maximum(contacts_b.depth - cfg.contact_slop, 0.0)
+        b = b.at[:, :ncon].add(-cfg.baumgarte / dt * pen + rest)
+    if n_lim:
+        li = jnp.asarray(lim_idx)
+        lo = (jnp.broadcast_to(jnp.asarray(model.dof_limit_lower), q_arts.shape)
+              if limit_lower is None else limit_lower)[:, li]
+        hi = (jnp.broadcast_to(jnp.asarray(model.dof_limit_upper), q_arts.shape)
+              if limit_upper is None else limit_upper)[:, li]
+        q_lim = q_arts[:, li]
+        viol_lo = jnp.maximum(lo - q_lim, 0.0)
+        viol_hi = jnp.maximum(q_lim - hi, 0.0)
+        b = b.at[:, 3 * ncon:].add(
+            -cfg.limit_baumgarte / dt
+            * jnp.concatenate([viol_lo, viol_hi], axis=1)
+        )
+        lim_active = jnp.concatenate(
+            [(q_lim - lo) < 0.05, (hi - q_lim) < 0.05], axis=1
+        )
+    else:
+        lim_active = jnp.zeros((E, 0), dtype=bool)
+
+    con_active = (
+        jnp.tile(contacts_b.depth > 0.0, (1, 3))
+        if ncon
+        else jnp.zeros((E, 0), dtype=bool)
+    )
+    row_active = jnp.concatenate([con_active, lim_active], axis=1)
+    b = jnp.where(row_active, b, 0.0)
+
+    mu = contacts_b.friction if ncon else jnp.zeros((E, 0))
+    lam0 = (
+        warm_lambda
+        if warm_lambda is not None and warm_lambda.shape == (E, nrows)
+        else jnp.zeros((E, nrows))
+    )
+    lam0 = jnp.where(row_active, lam0, 0.0)
+
+    from .pallas_solver import make_apgd_dispatch
+
+    dispatch = make_apgd_dispatch(
+        ncon, n_lim, cfg.iterations,
+        lambda J_t_, MinvJT_, b_, diag_, active_f_, mu_, lam0_: apgd_solve(
+            J_t_, MinvJT_, b_, diag_, active_f_ > 0.5, mu_, lam0_, ncon,
+            n_lim, cfg.iterations,
+        ),
+    )
+    lam = jax.vmap(dispatch)(
+        J_t, MinvJT, b, diag, row_active.astype(J_t.dtype), mu, lam0
+    )
+
+    qd = v_free + jnp.einsum("evr,er->ev", MinvJT, lam)
+    if ncon:
+        imp = jnp.stack(
+            [lam[:, :ncon], lam[:, ncon:2 * ncon], lam[:, 2 * ncon:3 * ncon]],
+            axis=-1,
+        )
+        t1, t2 = tangent_basis(contacts_b.normal)
+        contact_force_w = (
+            contacts_b.normal * imp[..., 0:1]
+            + t1 * imp[..., 1:2]
+            + t2 * imp[..., 2:3]
+        ) / dt
+    else:
+        imp = jnp.zeros((E, 0, 3))
+        contact_force_w = jnp.zeros((E, 0, 3))
+    return SolveResult(qd=qd, contact_impulse=imp,
+                       contact_force_w=contact_force_w)
+
+
 def apgd_solve(J_t, MinvJT, b, diag, row_active, mu, lam0, ncon, n_lim,
                iterations):
     """Accelerated projected gradient descent over the grouped-row CCP.

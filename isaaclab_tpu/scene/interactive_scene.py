@@ -367,17 +367,29 @@ class InteractiveScene:
         terrain = self.height_field
         offsets = self.terrain_offsets()
 
-        def one_env(phys, drv, params, offset):
-            new_phys, _, _ = eng.step(
-                wm, self.collision_plan, phys, drv, params, cfg,
-                terrain=terrain, terrain_offset=offset,
-            )
-            return new_phys
-
         if wm.nbody > 0:
-            new_phys = jax.vmap(one_env)(
-                state.phys, drive, state.body_params, offsets
-            )
+            if eng.use_fused_path():
+                # batch-last fused path: ~10x the vmap(step) throughput on
+                # TPU (physics/fused.py); equivalence in
+                # tests/test_fused_dynamics.py
+                new_phys, _, _ = eng.step_batch(
+                    wm, self.collision_plan, state.phys, drive,
+                    state.body_params, cfg, terrain=terrain,
+                    terrain_offset=offsets,
+                )
+            else:
+                # CPU (tests/dev): the fused unroll compiles ~10x slower
+                # under XLA:CPU with no runtime win — use the per-env path
+                def one_env(phys, drv, params, offset):
+                    new_phys, _, _ = eng.step(
+                        wm, self.collision_plan, phys, drv, params, cfg,
+                        terrain=terrain, terrain_offset=offset,
+                    )
+                    return new_phys
+
+                new_phys = jax.vmap(one_env)(
+                    state.phys, drive, state.body_params, offsets
+                )
         else:  # soft-only scene: nothing rigid to solve
             new_phys = state.phys
         # XPBD soft bodies step alongside the rigid solve (one-way: terrain

@@ -430,3 +430,99 @@ class TestPallasSolverDispatch:
         np.testing.assert_allclose(
             np.asarray(lam_d), np.asarray(lam_r), rtol=1e-5, atol=1e-6
         )
+
+
+class TestFixedTendons:
+    """Fixed-tendon couplings (reference articulation.py:958-1145 +
+    FixedTendonPropertiesCfg): L = offset + coef @ q, spring + limit bands."""
+
+    def _coupled_double_pendulum(self, limit_stiffness=50.0):
+        b = ModelBuilder("coupled")
+        b.add_body(
+            "link0", -1, JOINT_REVOLUTE, jnt_axis=(0, 1, 0), mass=0.5,
+            com=(0, 0, -0.2), inertia=np.eye(3) * 1e-3, jnt_name="j0",
+        )
+        b.add_body(
+            "link1", 0, JOINT_REVOLUTE, jnt_axis=(0, 1, 0), mass=0.5,
+            body_pos=(0, 0, -0.4), com=(0, 0, -0.2),
+            inertia=np.eye(3) * 1e-3, jnt_name="j1",
+        )
+        # zero-width limit band enforcing q1 == q0 (Shadow-hand J0/J1 style)
+        b.add_tendon(
+            "couple", {"j1": 1.0, "j0": -1.0},
+            limit_stiffness=limit_stiffness, damping=0.5, limits=(0.0, 0.0),
+        )
+        return b.build()
+
+    def test_limit_band_couples_joints(self):
+        model = self._coupled_double_pendulum()
+        assert model.ntendon == 1
+        plan = CollisionPlan(model, with_ground=False)
+        cfg = eng.EngineCfg(dt=1.0 / 120.0)
+        params = eng.BodyParams.from_model(model)
+        # PD drives only j0; the tendon must drag j1 along
+        drive = eng.JointDrive(
+            kp=jnp.array([40.0, 0.0]), kd=jnp.array([4.0, 0.0]),
+            pos_target=jnp.array([0.6, 0.0]), vel_target=jnp.zeros(2),
+            effort=jnp.zeros(2),
+        )
+        state = eng.PhysicsState.create(model, plan.ncon, 2 * model.nu)
+        final, qs = jax.jit(
+            lambda s: simulate(model, plan, s, drive, params, cfg, 960)
+        )(state)
+        assert bool(jnp.all(jnp.isfinite(qs)))
+        q0, q1 = float(final.q[0]), float(final.q[1])
+        assert q0 > 0.3  # drive got somewhere
+        np.testing.assert_allclose(q1, q0, atol=0.12)
+
+    def test_rest_length_spring_equilibrium(self):
+        # prismatic along x (gravity orthogonal): spring pulls L=q to rest 0.3
+        b = ModelBuilder("slider")
+        b.add_body(
+            "cart", -1, JOINT_PRISMATIC, jnt_axis=(1, 0, 0), mass=1.0,
+            inertia=np.eye(3) * 1e-2, jnt_name="slide",
+        )
+        b.add_tendon("spring", {"slide": 1.0}, stiffness=50.0, damping=8.0,
+                     rest_length=0.3)
+        model = b.build()
+        plan = CollisionPlan(model, with_ground=False)
+        cfg = eng.EngineCfg(dt=1.0 / 120.0)
+        params = eng.BodyParams.from_model(model)
+        drive = eng.JointDrive.zero(model.nu)
+        state = eng.PhysicsState.create(model, plan.ncon, 2 * model.nu)
+        final, _ = jax.jit(
+            lambda s: simulate(model, plan, s, drive, params, cfg, 600)
+        )(state)
+        np.testing.assert_allclose(float(final.q[0]), 0.3, atol=0.01)
+        np.testing.assert_allclose(float(final.qd[0]), 0.0, atol=0.01)
+
+    def test_stiff_tendon_stable_on_light_links(self):
+        # shadow-hand regime: limit_stiffness 30 on ~1e-5 inertia phalanges
+        # must not explode at dt=1/120 (implicit coupling fold-in)
+        b = ModelBuilder("finger")
+        b.add_body(
+            "p0", -1, JOINT_REVOLUTE, jnt_axis=(0, 1, 0), mass=0.008,
+            com=(0, 0, 0.0125), inertia=np.eye(3) * 1e-5, jnt_name="q1",
+        )
+        b.add_body(
+            "p1", 0, JOINT_REVOLUTE, jnt_axis=(0, 1, 0), mass=0.008,
+            body_pos=(0, 0, 0.025), com=(0, 0, 0.0125),
+            inertia=np.eye(3) * 1e-5, jnt_name="q0",
+        )
+        b.add_tendon("t", {"q1": 1.0, "q0": -1.0},
+                     limit_stiffness=30.0, damping=0.1, limits=(0.0, 0.0))
+        model = b.build()
+        plan = CollisionPlan(model, with_ground=False)
+        cfg = eng.EngineCfg(dt=1.0 / 120.0)
+        params = eng.BodyParams.from_model(model)
+        drive = eng.JointDrive(
+            kp=jnp.array([2.0, 0.0]), kd=jnp.array([0.1, 0.0]),
+            pos_target=jnp.array([1.0, 0.0]), vel_target=jnp.zeros(2),
+            effort=jnp.zeros(2),
+        )
+        state = eng.PhysicsState.create(model, plan.ncon, 2 * model.nu)
+        final, qs = jax.jit(
+            lambda s: simulate(model, plan, s, drive, params, cfg, 480)
+        )(state)
+        assert bool(jnp.all(jnp.isfinite(qs)))
+        assert bool(jnp.all(jnp.abs(qs) < 10.0))
