@@ -315,6 +315,44 @@ class ManagerBasedEnv(gym.Env):
         self._state, obs = self._jit_reset(jax.random.PRNGKey(self._seed))
         return obs, {}
 
+    def reset_to_state(
+        self,
+        state: EnvState,
+        scene_state_dict: dict,
+        env_mask=None,
+        is_relative: bool = False,
+    ) -> tuple[EnvState, dict]:
+        """Pure state-based restore (reference ``ManagerBasedEnv.reset_to``,
+        manager_based_env.py:317): write a recorded scene state (the dict
+        produced by ``scene.get_state``) into masked envs, refresh sensors,
+        zero episode counters, and recompute observations."""
+        scene_state = self.scene.reset_to(
+            state.scene, scene_state_dict, env_mask, is_relative
+        )
+        scene_state = self._update_sensors(scene_state)
+        mask = (
+            jnp.ones(self.num_envs, dtype=bool) if env_mask is None else env_mask
+        )
+        state = state._replace(
+            scene=scene_state,
+            episode_length=jnp.where(mask, 0, state.episode_length),
+        )
+        ctx = self.make_context(state)
+        key, sub = jax.random.split(state.key)
+        obs, obs_state = self.observation_manager.compute(ctx, state.obs, sub)
+        return state._replace(obs=obs_state, key=key), obs
+
+    def reset_to(self, scene_state_dict: dict, env_mask=None,
+                 is_relative: bool = False):
+        """Host-facing restore on the env's live state (reference
+        manager_based_env.py:317-371); returns observations."""
+        if self._state is None:
+            self.reset()
+        self._state, obs = jax.jit(
+            self.reset_to_state, static_argnames=("is_relative",)
+        )(self._state, scene_state_dict, env_mask, is_relative=is_relative)
+        return obs, {}
+
     def step_state(self, state: EnvState, action) -> tuple[EnvState, dict]:
         """Pure: action application + decimated physics + obs (no RL logic)."""
         ctx = self.make_context(state)

@@ -291,7 +291,14 @@ def step(
         else state.warm_lambda
     )
     if lam.shape != state.warm_lambda.shape:
-        lam = state.warm_lambda
+        # a layout mismatch means the collision plan and the carried state
+        # desynced (state built for a different plan) — fail loudly instead of
+        # silently dropping the warm start
+        raise ValueError(
+            f"warm-start row-layout mismatch: solver produced {lam.shape} but "
+            f"state.warm_lambda is {state.warm_lambda.shape}; the PhysicsState "
+            "was created for a different CollisionPlan"
+        )
 
     return (
         PhysicsState(
@@ -438,7 +445,14 @@ def step_batch(
         else state.warm_lambda
     )
     if lam.shape != state.warm_lambda.shape:
-        lam = state.warm_lambda
+        # a layout mismatch means the collision plan and the carried state
+        # desynced (state built for a different plan) — fail loudly instead of
+        # silently dropping the warm start
+        raise ValueError(
+            f"warm-start row-layout mismatch: solver produced {lam.shape} but "
+            f"state.warm_lambda is {state.warm_lambda.shape}; the PhysicsState "
+            "was created for a different CollisionPlan"
+        )
 
     return (
         PhysicsState(

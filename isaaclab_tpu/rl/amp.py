@@ -79,7 +79,7 @@ class AMPOnPolicyRunner(OnPolicyRunner):
         )
         traj = traj._replace(reward=rewards)
 
-        _, _, last_value = self._apply(
+        _, old_log_std, last_value = self._apply(
             state.update.params, last_obs,
             last_cobs if self.separate_critic else last_obs,
         )
@@ -92,6 +92,7 @@ class AMPOnPolicyRunner(OnPolicyRunner):
         update, metrics = ppo_update(
             self._apply, state.update, self.optimizer, flat,
             advantages.reshape(-1), returns.reshape(-1), self.alg_cfg, k_up,
+            old_log_std=old_log_std,
         )
 
         # --- discriminator update: ref=1, policy=0, + R1 penalty on ref ---

@@ -25,6 +25,7 @@ class Transition(NamedTuple):
     reward: jnp.ndarray
     done: jnp.ndarray  # terminated | truncated
     time_out: jnp.ndarray
+    mean: jnp.ndarray  # rollout-policy action mean (for exact Gaussian KL)
 
 
 def gaussian_log_prob(mean, log_std, action):
@@ -70,9 +71,28 @@ class PPOUpdateState(NamedTuple):
 
 
 def make_optimizer(cfg: RslRlPpoAlgorithmCfg):
+    """Gradient transform WITHOUT a learning rate: the (possibly adaptive) LR
+    is applied functionally by scaling the Adam-normalized update at each
+    minibatch, so no optimizer-state internals are ever mutated in-trace."""
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
+        optax.scale_by_adam(),
+    )
+
+
+def gaussian_kl(old_mean, old_log_std, new_mean, new_log_std):
+    """Exact KL(old || new) between diagonal Gaussians, matching rsl-rl's
+    adaptive-KL formula (rsl_rl PPO.update): sigma-aware, summed over the
+    action dim, averaged over the batch."""
+    return jnp.mean(
+        jnp.sum(
+            new_log_std
+            - old_log_std
+            + (jnp.exp(2.0 * old_log_std) + jnp.square(old_mean - new_mean))
+            / (2.0 * jnp.exp(2.0 * new_log_std))
+            - 0.5,
+            axis=-1,
+        )
     )
 
 
@@ -86,12 +106,16 @@ def ppo_update(
     cfg: RslRlPpoAlgorithmCfg,
     key,
     aux_loss_fn=None,
+    old_log_std=None,
 ):
     """Epochs x minibatches of clipped PPO with adaptive-KL LR
     (rsl-rl PPO.update equivalent). ``batch`` arrays are (N, ...) flattened.
 
     ``aux_loss_fn(params, mb) -> scalar`` adds an algorithm-variant loss (the
-    fork's PPOCA cascade loss, reference rl_cfg.py:166-170)."""
+    fork's PPOCA cascade loss, reference rl_cfg.py:166-170).
+    ``old_log_std`` is the rollout policy's (A,) log-std vector; with it the
+    adaptive-KL scheduler uses the exact Gaussian KL (rsl-rl formula),
+    otherwise the mean-logp surrogate."""
     N = batch.obs.shape[0]
     mb_size = N // cfg.num_mini_batches
     if not cfg.normalize_advantage_per_mini_batch:
@@ -126,8 +150,12 @@ def ppo_update(
         )
         if aux_loss_fn is not None:
             total = total + aux_loss_fn(params, mb)
-        # approximate KL for adaptive LR (rsl-rl formula)
-        kl = jnp.mean(mb.log_prob - log_prob)
+        # adaptive-LR KL: exact Gaussian KL when the old sigma is known
+        # (rsl-rl PPO.update), surrogate mean-logp-diff otherwise
+        if old_log_std is not None:
+            kl = gaussian_kl(mb.mean, old_log_std, mean, log_std)
+        else:
+            kl = jnp.mean(mb.log_prob - log_prob)
         return total, (policy_loss, value_loss, entropy, kl)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -147,8 +175,9 @@ def ppo_update(
                 jnp.minimum(lr * 1.5, 1e-2),
                 lr,
             )
-        opt_state[1].hyperparams["learning_rate"] = lr
         updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        # apply the (adaptive) LR functionally on the Adam-normalized update
+        updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)
         return (params, opt_state_new, lr), jnp.stack([loss, pl, vl, ent, kl])
 
@@ -188,6 +217,7 @@ def ppo_update_recurrent(
     returns,
     cfg: RslRlPpoAlgorithmCfg,
     key,
+    old_log_std=None,
 ):
     """Recurrent-policy PPO update (rsl-rl recurrent PPO equivalent).
 
@@ -230,7 +260,10 @@ def ppo_update_recurrent(
             + cfg.value_loss_coef * value_loss
             - cfg.entropy_coef * entropy
         )
-        kl = jnp.mean(mb.log_prob - log_prob)
+        if old_log_std is not None:
+            kl = gaussian_kl(mb.mean, old_log_std, mean, log_std)
+        else:
+            kl = jnp.mean(mb.log_prob - log_prob)
         return total, (policy_loss, value_loss, entropy, kl)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -249,8 +282,8 @@ def ppo_update_recurrent(
                 jnp.minimum(lr * 1.5, 1e-2),
                 lr,
             )
-        opt_state[1].hyperparams["learning_rate"] = lr
         updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)
         return (params, opt_state_new, lr), jnp.stack([loss, pl, vl, ent, kl])
 

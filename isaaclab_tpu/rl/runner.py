@@ -320,6 +320,7 @@ class OnPolicyRunner:
                 reward=reward_b,
                 done=done,
                 time_out=time_outs,
+                mean=mean,
             )
             return (env_state, next_obs, next_cobs, key, new_carry), (
                 trans, reward, log,
@@ -355,11 +356,15 @@ class OnPolicyRunner:
         else:
             n_last, n_last_c = last_obs, last_c
         if self.recurrent:
-            _, _, last_value, _ = self.net.apply(
+            _, old_log_std, last_value, _ = self.net.apply(
                 state.update.params, n_last, carry, n_last_c
             )
         else:
-            _, _, last_value = self._apply(state.update.params, n_last, n_last_c)
+            _, old_log_std, last_value = self._apply(
+                state.update.params, n_last, n_last_c
+            )
+        # the rollout policy's sigma is a parameter vector (state-independent),
+        # so this single apply recovers it exactly for the Gaussian-KL schedule
 
         advantages, returns = compute_gae(
             traj.reward, traj.value, traj.done, traj.time_out, last_value,
@@ -378,6 +383,7 @@ class OnPolicyRunner:
                 returns,
                 self.alg_cfg,
                 k_up,
+                old_log_std=old_log_std,
             )
         else:
             flat = jax.tree.map(
@@ -393,6 +399,10 @@ class OnPolicyRunner:
                 cobs_aug, _ = sym.data_augmentation_func(
                     flat.critic_obs, flat.action, self.env
                 )
+                # mirrored samples' old-policy mean is the mirrored mean
+                _, mean_aug = sym.data_augmentation_func(
+                    flat.obs, flat.mean, self.env
+                )
                 flat = Transition(
                     obs=jnp.concatenate([flat.obs, obs_aug]),
                     critic_obs=jnp.concatenate([flat.critic_obs, cobs_aug]),
@@ -402,6 +412,7 @@ class OnPolicyRunner:
                     reward=jnp.tile(flat.reward, 2),
                     done=jnp.tile(flat.done, 2),
                     time_out=jnp.tile(flat.time_out, 2),
+                    mean=jnp.concatenate([flat.mean, mean_aug]),
                 )
                 flat_adv = jnp.tile(flat_adv, 2)
                 flat_ret = jnp.tile(flat_ret, 2)
@@ -437,6 +448,7 @@ class OnPolicyRunner:
                 self.alg_cfg,
                 k_up,
                 aux_loss_fn=aux_loss,
+                old_log_std=old_log_std,
             )
         rnd = state.rnd
         if self.rnd_cfg:
@@ -500,15 +512,28 @@ class OnPolicyRunner:
 
         steps_per_iter = self.num_steps * self.num_envs
         t_start = time.time()
+        self._curves: list[dict] = getattr(self, "_curves", [])
+        # iterations dispatch asynchronously; wall time is only meaningful
+        # between host syncs (the float() conversions below), so fps is
+        # measured over the sync-to-sync window
+        t_sync = time.time()
+        it_sync = 0
         for it in range(iterations):
-            t0 = time.time()
             self.state, metrics = self._train_iter_fn(self.state)
             if it == 0:
                 jax.block_until_ready(metrics)
-            dt_iter = time.time() - t0
+                t_sync = time.time()  # exclude compile from the fps window
+                it_sync = 1
             if self.writer is not None or it % 10 == 0 or it == iterations - 1:
-                metrics_np = {k: float(v) for k, v in metrics.items()}
-                fps = steps_per_iter / max(dt_iter, 1e-9)
+                metrics_np = {k: float(v) for k, v in metrics.items()}  # syncs
+                now = time.time()
+                fps = (
+                    (it + 1 - it_sync) * steps_per_iter / max(now - t_sync, 1e-9)
+                    if it + 1 > it_sync
+                    else 0.0
+                )
+                t_sync, it_sync = now, it + 1
+                self._curves.append({"iteration": it, "fps": fps, **metrics_np})
                 if self.writer is not None:
                     for k, v in metrics_np.items():
                         self.writer.add_scalar(k.replace("/", "_"), v, it)
@@ -525,16 +550,29 @@ class OnPolicyRunner:
                 it % self.cfg.save_interval == 0 or it == iterations - 1
             ):
                 self.save(os.path.join(self.log_dir, f"model_{it}.ckpt"))
+        jax.block_until_ready(self.state.update.params)
         total = time.time() - t_start
+        if self.log_dir:
+            import json
+
+            with open(os.path.join(self.log_dir, "curves.json"), "w") as f:
+                json.dump(self._curves, f)
         print(
             f"training done: {iterations} iters, "
-            f"{iterations * steps_per_iter / total:,.0f} env-steps/s", flush=True,
+            f"{iterations * steps_per_iter / total:,.0f} env-steps/s "
+            "(incl. compile)", flush=True,
         )
         return self.state
 
     # ------------------------------------------------------------------
-    def save(self, path: str, infos=None):
-        """Orbax-free checkpoint: msgpack via flax.serialization."""
+    def save(self, path: str, infos=None, full_state: bool = True):
+        """Orbax-free checkpoint: msgpack via flax.serialization.
+
+        ``full_state=True`` additionally snapshots the ENTIRE TrainState —
+        optimizer moments, PRNG key, env state, recurrent carries — making a
+        resumed run bitwise-continuable (SURVEY.md §5 env-state-resumable
+        checkpoints; strictly stronger than the reference's params-only
+        torch.save)."""
         from flax import serialization
 
         payload = {
@@ -543,17 +581,27 @@ class OnPolicyRunner:
             "critic_normalizer": self.state.critic_normalizer._asdict(),
             "iteration": int(self.state.iteration),
         }
+        if full_state:
+            payload["train_state"] = serialization.to_state_dict(self.state)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(jax.device_get(payload)))
 
-    def load(self, path: str, load_optimizer: bool = True):
+    def load(self, path: str, load_optimizer: bool = True,
+             load_env_state: bool = True):
         from flax import serialization
 
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         if self.state is None:
-            self.state = self.init_train_state()
+            self.state = jax.jit(
+                lambda key: self._init_train_state_from_key(key)
+            )(jax.random.PRNGKey(self.cfg.seed))
+        if load_env_state and load_optimizer and "train_state" in payload:
+            self.state = serialization.from_state_dict(
+                self.state, payload["train_state"]
+            )
+            return int(payload.get("iteration", 0))
         self.state = self.state._replace(
             update=self.state.update._replace(params=payload["params"]),
             normalizer=NormalizerState(**payload["normalizer"]),

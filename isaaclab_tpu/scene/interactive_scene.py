@@ -422,15 +422,152 @@ class InteractiveScene:
         return views, kin
 
     # ------------------------------------------------------------------
-    def get_state(self, state: SceneState) -> dict:
-        """Serializable full state (reference interactive_scene.py:484)."""
-        return {
-            "phys": state.phys._asdict(),
-            "entities": {
-                k: v._asdict() if hasattr(v, "_asdict") else v
-                for k, v in state.entities.items()
-            },
-        }
+    def get_state(self, state: SceneState, is_relative: bool = False) -> dict:
+        """Entity-keyed scene state in the reference's recorder format
+        (reference ``InteractiveScene.get_state``, interactive_scene.py:484):
+        ``{"articulation": {name: {"root_pose", "root_velocity",
+        "joint_position", "joint_velocity"}}, "rigid_object": {...},
+        "deformable_object": {...}}``. Pure; jittable."""
+        q, qd = state.phys.q, state.phys.qd
+        E = q.shape[0]
+        origins = jnp.asarray(self.env_origins)
+        out: dict = {"articulation": {}, "rigid_object": {}, "deformable_object": {}}
+
+        def _root_pose_vel(facade):
+            s = facade.slice
+            if getattr(facade, "is_fixed_base", False):
+                wm = self.world_model
+                pose1 = jnp.concatenate(
+                    [
+                        jnp.asarray(wm.jnt_pos[s.body_start], dtype=q.dtype),
+                        jnp.asarray(wm.jnt_quat[s.body_start], dtype=q.dtype),
+                    ]
+                )
+                pose = jnp.tile(pose1, (E, 1))
+                vel = jnp.zeros((E, 6), dtype=q.dtype)
+            else:
+                pose = q[:, s.q_start : s.q_start + 7]
+                v = qd[:, s.v_start : s.v_start + 6]  # engine order (ang, lin)
+                vel = jnp.concatenate([v[:, 3:6], v[:, 0:3]], axis=-1)
+            if is_relative:
+                pose = pose.at[:, 0:3].add(-origins)
+            return pose, vel
+
+        for name, art in self.articulations.items():
+            pose, vel = _root_pose_vel(art)
+            out["articulation"][name] = {
+                "root_pose": pose,
+                "root_velocity": vel,
+                "joint_position": art.joint_pos_from_world(q),
+                "joint_velocity": art.joint_vel_from_world(qd),
+            }
+        for name, obj in self.rigid_objects.items():
+            pose, vel = _root_pose_vel(obj)
+            out["rigid_object"][name] = {
+                "root_pose": pose,
+                "root_velocity": vel,
+            }
+        for name in self.deformable_objects:
+            est = state.entities[name]
+            out["deformable_object"][name] = {
+                "nodal_position": est.pos,
+                "nodal_velocity": est.vel,
+            }
+        return out
+
+    def reset_to(
+        self,
+        state: SceneState,
+        target: dict,
+        env_mask=None,
+        is_relative: bool = False,
+    ) -> SceneState:
+        """Restore a recorded scene state for masked envs (reference
+        ``InteractiveScene.reset_to``, interactive_scene.py:425): the backbone
+        of demo replay and mimic data generation. ``target`` is the dict
+        produced by :meth:`get_state` (arrays may be (E, ...) batched or a
+        single recorded env broadcast to all masked envs). Pure; jittable."""
+        q, qd = state.phys.q, state.phys.qd
+        E = q.shape[0]
+        origins = jnp.asarray(self.env_origins)
+        new_entities = dict(state.entities)
+
+        def _batched(x, batched_ndim=2):
+            """Broadcast a single recorded env to the (E, ...) batch."""
+            x = jnp.asarray(x)
+            if x.ndim == batched_ndim - 1:
+                x = jnp.broadcast_to(x, (E,) + x.shape)
+            return x
+
+        for name, art in self.articulations.items():
+            if name not in target.get("articulation", {}):
+                continue
+            t = target["articulation"][name]
+            pose = _batched(t["root_pose"])
+            if is_relative:
+                pose = pose.at[:, 0:3].add(origins)
+            vel = _batched(t["root_velocity"])
+            q = art.write_root_pose_to_sim(q, pose, env_mask)
+            qd = art.write_root_velocity_to_sim(q, qd, vel, env_mask)
+            q, qd = art.write_joint_state_to_sim(
+                q, qd, _batched(t["joint_position"]),
+                _batched(t["joint_velocity"]), env_mask,
+            )
+            # command targets follow the restored joint state (the reference
+            # re-targets on reset so implicit PD doesn't yank the robot back)
+            est = state.entities[name]
+            m = (
+                jnp.ones(E, dtype=bool) if env_mask is None else env_mask
+            )[:, None]
+            jp = _batched(t["joint_position"])
+            new_entities[name] = est._replace(
+                joint_pos_target=jnp.where(m, jp, est.joint_pos_target),
+                joint_vel_target=jnp.where(m, 0.0, est.joint_vel_target),
+                joint_effort_target=jnp.where(m, 0.0, est.joint_effort_target),
+            )
+        for name, obj in self.rigid_objects.items():
+            if name not in target.get("rigid_object", {}):
+                continue
+            t = target["rigid_object"][name]
+            pose = _batched(t["root_pose"])
+            if is_relative:
+                pose = pose.at[:, 0:3].add(origins)
+            q = obj.write_root_pose_to_sim(q, pose, env_mask)
+            qd = obj.write_root_velocity_to_sim(
+                q, qd, _batched(t["root_velocity"]), env_mask
+            )
+        for name, soft in self.deformable_objects.items():
+            if name not in target.get("deformable_object", {}):
+                continue
+            t = target["deformable_object"][name]
+            est = state.entities[name]
+            est = soft.write_nodal_pos_to_sim(
+                est, _batched(t["nodal_position"], batched_ndim=3), env_mask
+            )
+            est = soft.write_nodal_velocity_to_sim(
+                est, _batched(t["nodal_velocity"], batched_ndim=3), env_mask
+            )
+            new_entities[name] = est
+
+        mask = (
+            jnp.ones(E, dtype=bool) if env_mask is None else env_mask
+        )
+        phys = state.phys._replace(
+            q=q,
+            qd=qd,
+            qd_prev=jnp.where(mask[:, None], qd, state.phys.qd_prev),
+            f_ext_w=jnp.where(mask[:, None, None], 0.0, state.phys.f_ext_w),
+            warm_lambda=jnp.where(mask[:, None], 0.0, state.phys.warm_lambda),
+        )
+        new_sensors = {}
+        for name, s in self.sensors.items():
+            if name in state.sensors:
+                new_sensors[name] = s.reset(state.sensors[name], mask)
+        return state._replace(
+            phys=phys,
+            entities=new_entities,
+            sensors={**state.sensors, **new_sensors},
+        )
 
 
 def _resolve_model(source):

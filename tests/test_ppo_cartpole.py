@@ -62,3 +62,32 @@ class TestPPOCartpole:
             f"no learning: ep_len {first_len} -> {last_len}"
         )
         assert last_r > 0.012, f"reward too low after 60 iters: {last_r}"
+
+    def test_full_state_checkpoint_resume(self, setup, tmp_path):
+        """Full-state checkpoints make a resumed run bitwise-continuable
+        (SURVEY.md §5: env-state-resumable; stronger than the reference's
+        params-only torch.save)."""
+        env, runner = setup
+        fn = jax.jit(runner._train_iteration)
+        state = runner.init_train_state(seed=42)
+        for _ in range(2):
+            state, _ = fn(state)
+        runner.state = state
+        ckpt = str(tmp_path / "model.ckpt")
+        runner.save(ckpt)
+        # uninterrupted continuation
+        cont, _ = fn(state)
+        # resumed continuation from the serialized checkpoint
+        runner.state = None
+        runner.load(ckpt)
+        resumed, _ = fn(runner.state)
+        for a, b in zip(
+            jax.tree.leaves(cont.update.params),
+            jax.tree.leaves(resumed.update.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # env state (physics q) must also match bitwise
+        np.testing.assert_array_equal(
+            np.asarray(cont.env_state.scene.phys.q),
+            np.asarray(resumed.env_state.scene.phys.q),
+        )
