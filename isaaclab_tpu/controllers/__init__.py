@@ -17,3 +17,8 @@ from .pink_ik import (  # noqa: F401
     PinkIKController,
     PinkIKControllerCfg,
 )
+from .rmp_flow import (  # noqa: F401
+    RmpFlowController,
+    RmpFlowControllerCfg,
+    RmpFlowSmoothedController,
+)

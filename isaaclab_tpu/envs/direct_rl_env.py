@@ -157,8 +157,9 @@ class DirectRLEnv(gym.Env):
         raise NotImplementedError
 
     def _reset_idx(self, state: DirectEnvState, mask) -> DirectEnvState:
-        scene_state = self.scene.reset_state(state.scene, mask)
-        return state._replace(scene=scene_state)
+        key, k_scene = jax.random.split(state.key)
+        scene_state = self.scene.reset_state(state.scene, mask, key=k_scene)
+        return state._replace(scene=scene_state, key=key)
 
     # ------------------------------------------------------------------
     def init_state(self, key=None) -> DirectEnvState:

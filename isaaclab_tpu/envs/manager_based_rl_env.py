@@ -203,8 +203,10 @@ class ManagerBasedRLEnv(ManagerBasedEnv):
             )
             state = state._replace(curriculum=cur_state)
             logs.update(cur_logs)
-        # scene reset to defaults
-        scene_state = self.scene.reset_state(state.scene, mask)
+        # scene reset to defaults (key feeds sensor drift resampling)
+        key, k_scene = jax.random.split(state.key)
+        state = state._replace(key=key)
+        scene_state = self.scene.reset_state(state.scene, mask, key=k_scene)
         state = state._replace(scene=scene_state)
         # reset events (randomizations overwrite masked envs' states)
         key, sub = jax.random.split(state.key)

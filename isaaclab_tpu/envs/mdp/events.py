@@ -53,7 +53,7 @@ def _sample(key, shape, params: tuple, distribution: str = "uniform"):
 
 def reset_scene_to_default(env, scene_state, key, mask):
     """Reference events.py:reset_scene_to_default."""
-    return env._env.scene.reset_state(scene_state, mask)
+    return env._env.scene.reset_state(scene_state, mask, key=key)
 
 
 def reset_root_state_uniform(env, scene_state, key, mask,
@@ -217,6 +217,60 @@ def randomize_rigid_body_mass(env, scene_state, key, mask,
         )
         new_params = new_params._replace(inertia=inertia)
     return scene_state._replace(body_params=new_params)
+
+
+def randomize_rigid_body_com(env, scene_state, key, mask,
+                             com_range: dict = None,
+                             asset_cfg: SceneEntityCfg = _DEFAULT):
+    """Offset the centre of mass of selected bodies by a uniform sample from
+    ``com_range`` ({"x": (lo, hi), ...}) (reference
+    events.py:randomize_rigid_body_com)."""
+    entity = _entity(env, asset_cfg)
+    s = entity.slice
+    ids = (
+        jnp.arange(s.body_start, s.body_start + s.body_count)
+        if isinstance(asset_cfg.body_ids, slice)
+        else jnp.asarray(asset_cfg.body_ids) + s.body_start
+    )
+    params = scene_state.body_params
+    E = env.num_envs
+    com_range = com_range or {}
+    ks = jax.random.split(key, 3)
+    offs = []
+    for i, ax in enumerate(("x", "y", "z")):
+        rng = com_range.get(ax, (0.0, 0.0))
+        offs.append(_u(ks[i], (E, ids.shape[0]), rng))
+    offset = jnp.stack(offs, axis=-1)  # (E, n, 3)
+    default = jnp.asarray(entity.world_model.com)[ids]  # (n, 3)
+    new_com = default[None] + offset
+    com = params.com.at[:, ids].set(
+        jnp.where(mask[:, None, None], new_com, params.com[:, ids])
+    )
+    return scene_state._replace(body_params=params._replace(com=com))
+
+
+def randomize_physics_scene_gravity(env, scene_state, key, mask,
+                                    gravity_distribution_params: tuple = None,
+                                    operation: str = "add",
+                                    distribution: str = "uniform"):
+    """Randomize world gravity (reference
+    events.py:randomize_physics_scene_gravity). The reference mutates one
+    global PhysX gravity; here gravity lives in the per-env ``BodyParams``,
+    so randomization is per-env (strictly stronger) and masked like any
+    other reset event."""
+    params = scene_state.body_params
+    E = env.num_envs
+    lo, hi = gravity_distribution_params or ((0.0,) * 3, (0.0,) * 3)
+    sample = jax.random.uniform(
+        key, (E, 3), minval=jnp.asarray(lo), maxval=jnp.asarray(hi)
+    ) if distribution == "uniform" else (
+        jnp.asarray(lo)[None]
+        + jnp.asarray(hi)[None] * jax.random.normal(key, (E, 3))
+    )
+    default = jnp.asarray(env._env.scene.sim_cfg.gravity)[None]
+    new_g = _op(default, sample, operation)
+    grav = jnp.where(mask[:, None], new_g, params.gravity)
+    return scene_state._replace(body_params=params._replace(gravity=grav))
 
 
 def randomize_rigid_body_material(env, scene_state, key, mask,

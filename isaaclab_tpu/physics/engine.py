@@ -87,9 +87,12 @@ class BodyParams(NamedTuple):
     tendon_limit_upper: jnp.ndarray
     tendon_rest_length: jnp.ndarray
     tendon_offset: jnp.ndarray
+    # world gravity, per-env randomizable (reference
+    # events.py:randomize_physics_scene_gravity); (3,)
+    gravity: jnp.ndarray
 
     @staticmethod
-    def from_model(model: RobotModel) -> "BodyParams":
+    def from_model(model: RobotModel, gravity=(0.0, 0.0, -9.81)) -> "BodyParams":
         return BodyParams(
             mass=jnp.asarray(model.mass),
             inertia=jnp.asarray(model.inertia),
@@ -106,6 +109,7 @@ class BodyParams(NamedTuple):
             tendon_limit_upper=jnp.asarray(model.tendon_limit_upper),
             tendon_rest_length=jnp.asarray(model.tendon_rest_length),
             tendon_offset=jnp.asarray(model.tendon_offset),
+            gravity=jnp.asarray(gravity, dtype=jnp.float32),
         )
 
 
@@ -206,7 +210,7 @@ def step(
         model,
         kin,
         state.qd,
-        jnp.asarray(cfg.gravity),
+        params.gravity,
         f_ext_w=state.f_ext_w,
         mass=params.mass,
         inertia=params.inertia,
@@ -395,7 +399,7 @@ def step_batch(
 
     dyn = fused.free_dynamics_batch(
         model, state.q, state.qd, tau_v, params, dt,
-        tuple(cfg.gravity), f_ext_w=state.f_ext_w,
+        tuple(params.gravity[:, i] for i in range(3)), f_ext_w=state.f_ext_w,
         H_diag_extra=H_diag_extra, H_pairs_extra=H_pairs or None,
     )
     kin = dyn.kin

@@ -486,7 +486,9 @@ def free_dynamics_batch(
         )
 
     # --- velocity propagation + bias accelerations (fixed-frame RNEA) ---
-    g = tuple(float(x) for x in gravity)
+    # gravity components may be static floats or per-env (E,) arrays
+    # (events.py:randomize_physics_scene_gravity makes them traced)
+    g = tuple(x if hasattr(x, "shape") else float(x) for x in gravity)
     a_root = _ZERO3 + tuple(-x for x in g)  # a0 = -g trick
     V = [None] * model.nbody
     A = [None] * model.nbody

@@ -43,6 +43,36 @@ from .ppo import (
 from .rl_cfg import RslRlOnPolicyRunnerCfg
 
 
+def _from_state_dict_tolerant(target, state_dict):
+    """``flax.serialization.from_state_dict`` that tolerates schema growth:
+    fields present in ``target`` (a pytree of namedtuples/dicts) but absent
+    from the checkpoint keep their current value instead of failing, so old
+    full-state checkpoints stay loadable after state pytrees gain fields."""
+    from flax import serialization
+
+    if isinstance(state_dict, dict):
+        if hasattr(target, "_fields"):  # namedtuple
+            kept = {
+                k: _from_state_dict_tolerant(getattr(target, k), v)
+                for k, v in state_dict.items()
+                if k in target._fields
+            }
+            return target._replace(**kept)
+        if isinstance(target, dict):
+            return {
+                k: (
+                    _from_state_dict_tolerant(target[k], state_dict[k])
+                    if k in state_dict
+                    else v
+                )
+                for k, v in target.items()
+            }
+    try:
+        return serialization.from_state_dict(target, state_dict)
+    except ValueError:
+        return target
+
+
 class TrainState(NamedTuple):
     update: PPOUpdateState
     env_state: object
@@ -598,7 +628,7 @@ class OnPolicyRunner:
                 lambda key: self._init_train_state_from_key(key)
             )(jax.random.PRNGKey(self.cfg.seed))
         if load_env_state and load_optimizer and "train_state" in payload:
-            self.state = serialization.from_state_dict(
+            self.state = _from_state_dict_tolerant(
                 self.state, payload["train_state"]
             )
             return int(payload.get("iteration", 0))

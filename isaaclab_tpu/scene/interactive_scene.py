@@ -241,7 +241,9 @@ class InteractiveScene:
         ncon = self.collision_plan.ncon
         single = eng.PhysicsState.create(wm, ncon, self.n_lim_rows)
         phys = jax.tree.map(lambda x: jnp.tile(x, (E,) + (1,) * x.ndim), single)
-        params = eng.BodyParams.from_model(wm)
+        params = eng.BodyParams.from_model(
+            wm, gravity=tuple(self.sim_cfg.gravity)
+        )
         params = jax.tree.map(lambda x: jnp.tile(x, (E,) + (1,) * x.ndim), params)
 
         entities = {}
@@ -269,9 +271,10 @@ class InteractiveScene:
         }
         return state._replace(sensors=sensors)
 
-    def reset_state(self, state: SceneState, env_mask) -> SceneState:
+    def reset_state(self, state: SceneState, env_mask, key=None) -> SceneState:
         """Reset masked envs to entity default states (reference
-        ``InteractiveScene.reset`` + per-asset reset, interactive_scene.py:370)."""
+        ``InteractiveScene.reset`` + per-asset reset, interactive_scene.py:370).
+        ``key`` (optional) feeds per-sensor reset randomness (raycaster drift)."""
         q, qd = state.phys.q, state.phys.qd
         for name in self._entity_names:
             est = state.entities[name]
@@ -323,7 +326,10 @@ class InteractiveScene:
         new_sensors = {}
         for name, s in self.sensors.items():
             if name in state.sensors:
-                new_sensors[name] = s.reset(state.sensors[name], mask)
+                sub = None
+                if key is not None:
+                    key, sub = jax.random.split(key)
+                new_sensors[name] = s.reset(state.sensors[name], mask, key=sub)
         return state._replace(phys=phys, sensors={**state.sensors, **new_sensors})
 
     # ------------------------------------------------------------------

@@ -39,6 +39,7 @@ class ContactSensorState(NamedTuple):
     last_air_time: jnp.ndarray  # (E, B)
     current_contact_time: jnp.ndarray  # (E, B)
     last_contact_time: jnp.ndarray  # (E, B)
+    force_matrix_w: jnp.ndarray  # (E, B, M, 3) per-filtered-pair forces
 
 
 class ContactSensorData:
@@ -52,6 +53,7 @@ class ContactSensorData:
         self.last_air_time = state.last_air_time
         self.current_contact_time = state.current_contact_time
         self.last_contact_time = state.last_contact_time
+        self.force_matrix_w = state.force_matrix_w
 
 
 class ContactSensor(SensorBase):
@@ -66,6 +68,18 @@ class ContactSensor(SensorBase):
         # static map: contact rows of the collision plan touching our bodies
         self._plan = scene.collision_plan
         self._world_body_ids = self.body_ids + self.entity.slice.body_start
+        # per-pair filter bodies (reference cfg.filter_prim_paths_expr →
+        # force_matrix_w); resolved to world body indices at build time
+        self._filter_world_ids = []
+        self.filter_body_names = []
+        for expr in self.cfg.filter_prim_paths_expr:
+            f_entity, f_regex = parse_entity_from_prim_path(expr, scene)
+            fe = scene[f_entity]
+            f_ids, f_names = fe.find_bodies(f_regex)
+            for i, n in zip(f_ids, f_names):
+                self._filter_world_ids.append(int(i) + fe.slice.body_start)
+                self.filter_body_names.append(f"{f_entity}/{n}")
+        self.num_filter_bodies = len(self._filter_world_ids)
 
     def find_bodies(self, name_keys, preserve_order=False):
         from ..utils import string as su
@@ -83,6 +97,7 @@ class ContactSensor(SensorBase):
             last_air_time=z,
             current_contact_time=z,
             last_contact_time=z,
+            force_matrix_w=jnp.zeros((num_envs, B, self.num_filter_bodies, 3)),
         )
 
     def update(self, state, scene_state, dt: float) -> ContactSensorState:
@@ -95,11 +110,17 @@ class ContactSensor(SensorBase):
         E = forces.shape[0]
         B = self.num_bodies
         net = jnp.zeros((E, B, 3))
+        matrix = jnp.zeros((E, B, self.num_filter_bodies, 3))
         if plan.ncon:
             # static scatter: accumulate rows whose body_a matches
             contacts_body = self._contact_body_rows()
             for row, local_b, sign in contacts_body:
                 net = net.at[:, local_b].add(sign * forces[:, row])
+            if self.num_filter_bodies:
+                for row, local_b, f_idx, sign in self._force_matrix_rows():
+                    matrix = matrix.at[:, local_b, f_idx].add(
+                        sign * forces[:, row]
+                    )
         hist = jnp.concatenate(
             [net[:, None], state.net_forces_w_history[:, :-1]], axis=1
         )
@@ -124,33 +145,51 @@ class ContactSensor(SensorBase):
             last_air_time=last_air,
             current_contact_time=new_contact,
             last_contact_time=last_contact,
+            force_matrix_w=matrix,
         )
+
+    def _iter_plan_rows(self):
+        """Yield (row_index, body_a, body_b) in detect()'s emission order."""
+        from ..physics.collision import num_ground_candidates, num_pair_contacts
+
+        plan = self._plan
+        idx = 0
+        for g in plan.ground_geoms:
+            for _ in range(num_ground_candidates(g)):
+                yield idx, int(g.body), -1
+                idx += 1
+        for ga, gb in plan.pairs:
+            # pairs emit num_pair_contacts rows (box-box is a manifold)
+            for _ in range(num_pair_contacts(ga, gb)):
+                yield idx, int(ga.body), int(gb.body)
+                idx += 1
 
     def _contact_body_rows(self):
         """Static list of (contact_row, local_body_index, sign)."""
         rows = []
-        plan = self._plan
         wb = {int(w): i for i, w in enumerate(self._world_body_ids)}
-        contacts = plan.detect.__self__ if hasattr(plan.detect, "__self__") else plan
-        # enumerate plan candidates in the same order detect() emits them
-        idx = 0
-        for g in plan.ground_geoms:
-            from ..physics.collision import num_ground_candidates
-
-            k = num_ground_candidates(g)
-            for _ in range(k):
-                if g.body in wb:
-                    rows.append((idx, wb[g.body], 1.0))
-                idx += 1
-        for ga, gb in plan.pairs:
-            if ga.body in wb:
-                rows.append((idx, wb[ga.body], 1.0))
-            if gb.body in wb:
-                rows.append((idx, wb[gb.body], -1.0))
-            idx += 1
+        for idx, ba, bb in self._iter_plan_rows():
+            if ba in wb:
+                rows.append((idx, wb[ba], 1.0))
+            if bb in wb:
+                rows.append((idx, wb[bb], -1.0))
         return rows
 
-    def reset(self, state, env_mask):
+    def _force_matrix_rows(self):
+        """Static (contact_row, local_body, filter_idx, sign) quadruples for
+        ``force_matrix_w`` (reference contact_sensor_data.py force_matrix_w:
+        per-pair forces against cfg.filter_prim_paths_expr bodies)."""
+        rows = []
+        wb = {int(w): i for i, w in enumerate(self._world_body_ids)}
+        fb = {int(w): i for i, w in enumerate(self._filter_world_ids)}
+        for idx, ba, bb in self._iter_plan_rows():
+            if ba in wb and bb in fb:
+                rows.append((idx, wb[ba], fb[bb], 1.0))
+            if bb in wb and ba in fb:
+                rows.append((idx, wb[bb], fb[ba], -1.0))
+        return rows
+
+    def reset(self, state, env_mask, key=None):
         if state is None:
             return state
         m1 = env_mask[:, None]
@@ -163,6 +202,9 @@ class ContactSensor(SensorBase):
             last_air_time=jnp.where(m1, 0.0, state.last_air_time),
             current_contact_time=jnp.where(m1, 0.0, state.current_contact_time),
             last_contact_time=jnp.where(m1, 0.0, state.last_contact_time),
+            force_matrix_w=jnp.where(
+                env_mask[:, None, None, None], 0.0, state.force_matrix_w
+            ),
         )
 
     def data_view(self, state):

@@ -110,7 +110,7 @@ class Imu(SensorBase):
             prev_ang_vel_w=ang_w,
         )
 
-    def reset(self, state, env_mask):
+    def reset(self, state, env_mask, key=None):
         if state is None:
             return state
         m = env_mask[:, None]

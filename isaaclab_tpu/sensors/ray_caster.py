@@ -151,11 +151,24 @@ class RayCaster(SensorBase):
             ray_hits_w=hits, ray_distances=dist, pos_w=pos_w, quat_w=quat_w
         )
 
-    def reset(self, state, env_mask):
+    def reset(self, state, env_mask, key=None):
+        """Resample per-env xy drift for reset envs (reference
+        ray_caster.py:reset samples uniform(drift_range) per reset)."""
         if state is None:
             return state
-        # resample drift for reset envs would need a key; keep zero-mean drift
-        return state
+        lo, hi = self.cfg.drift_range
+        if key is None or (lo == 0.0 and hi == 0.0):
+            return state
+        E = state.drift.shape[0]
+        new_drift = jax.random.uniform(
+            key, (E, 3), minval=lo, maxval=hi
+        )
+        mask = (
+            jnp.ones(E, dtype=bool) if env_mask is None else env_mask
+        )[:, None]
+        return state._replace(
+            drift=jnp.where(mask, new_drift, state.drift)
+        )
 
     def data_view(self, state):
         return RayCasterData(state, state.pos_w, state.quat_w)

@@ -43,7 +43,7 @@ class SensorBase:
     def update(self, state, scene_state, dt: float):
         raise NotImplementedError
 
-    def reset(self, state, env_mask):
+    def reset(self, state, env_mask, key=None):
         return state
 
     def data_view(self, state):

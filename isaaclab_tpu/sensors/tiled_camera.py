@@ -252,7 +252,7 @@ class TiledCamera(SensorBase):
             )
         return TiledCameraState(output=out, pos_w=pos, quat_w=quat)
 
-    def reset(self, state, env_mask):
+    def reset(self, state, env_mask, key=None):
         return state
 
     def data_view(self, state: TiledCameraState) -> TiledCameraData:

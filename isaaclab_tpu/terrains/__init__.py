@@ -2,7 +2,9 @@
 
 from .height_field_terrains import (  # noqa: F401
     HfDiscreteObstaclesTerrainCfg,
+    HfDiscreteObstaclesWallTerrainCfg,
     HfFlatTerrainCfg,
+    HfWallTerrainCfg,
     HfPyramidSlopedTerrainCfg,
     HfPyramidStairsTerrainCfg,
     HfRandomUniformTerrainCfg,

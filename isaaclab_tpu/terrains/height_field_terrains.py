@@ -237,6 +237,147 @@ def stepping_stones_terrain(difficulty, cfg, rng=None):
 
 
 @configclass
+class HfWallTerrainCfg(SubTerrainCfg):
+    """Fork wall terrain (reference hf_terrains.py:544 wall_terrain): random
+    rectangular walls, long edge along y, flat center platform."""
+
+    function: object = None
+    wall_height_range: tuple = (1.0, 2.0)
+    wall_width_range: tuple = (0.1, 0.3)
+    wall_length_range: tuple = (1.0, 5.0)
+    num_walls: int = 6
+
+    def __post_init__(self):
+        self.function = wall_terrain
+
+
+def _place_walls(h, cfg, rng, num_walls, wall_height):
+    rows, cols = h.shape
+    w_min = max(int(cfg.wall_width_range[0] / cfg.horizontal_scale), 1)
+    w_max = max(int(cfg.wall_width_range[1] / cfg.horizontal_scale), w_min)
+    l_min = max(int(cfg.wall_length_range[0] / cfg.horizontal_scale), 1)
+    l_max = max(int(cfg.wall_length_range[1] / cfg.horizontal_scale), l_min)
+    for _ in range(num_walls):
+        ww = int(rng.integers(w_min, w_max + 1))
+        wl = int(rng.integers(l_min, l_max + 1))
+        if wl < ww:  # long edge always along y (fork semantics)
+            ww, wl = wl, ww
+        r = int(rng.integers(0, max(rows - ww, 1)))
+        c = int(rng.integers(0, max(cols - wl, 1)))
+        h[r : r + ww, c : c + wl] = wall_height
+    return h
+
+
+def wall_terrain(difficulty, cfg, rng=None):
+    """Reference (fork) hf_terrains.py:544 wall_terrain."""
+    rng = rng or np.random.default_rng(0)
+    rows, cols = _grid_shape(cfg)
+    wall_h = cfg.wall_height_range[0] + difficulty * (
+        cfg.wall_height_range[1] - cfg.wall_height_range[0]
+    )
+    h = np.zeros((rows, cols))
+    _place_walls(h, cfg, rng, cfg.num_walls, wall_h)
+    pw = max(int(cfg.platform_width / cfg.horizontal_scale / 2), 1)
+    h[rows // 2 - pw : rows // 2 + pw, cols // 2 - pw : cols // 2 + pw] = 0.0
+    return h
+
+
+@configclass
+class HfDiscreteObstaclesWallTerrainCfg(SubTerrainCfg):
+    """Fork obstacle-field terrain (reference hf_terrains.py:295
+    discrete_obstacles_wall_terrain): min-distance-separated cuboids,
+    cylinders, and walls — the UAV lidar obstacle course."""
+
+    function: object = None
+    obstacle_height_mode: str = "fixed"
+    obstacle_width_range: tuple = (0.4, 1.2)
+    obstacle_height_range: tuple = (1.0, 2.5)
+    num_obstacles: int = 12
+    num_cylinders: int = 4
+    cylinder_radius_range: tuple = (0.2, 0.6)
+    cylinder_height: float = None  # defaults to obstacle height
+    wall_height_range: tuple = (1.0, 2.0)
+    wall_width_range: tuple = (0.1, 0.3)
+    wall_length_range: tuple = (1.0, 5.0)
+    num_walls: int = 0
+
+    def __post_init__(self):
+        self.function = discrete_obstacles_wall_terrain
+
+
+def discrete_obstacles_wall_terrain(difficulty, cfg, rng=None):
+    """Reference (fork) hf_terrains.py:295 discrete_obstacles_wall_terrain."""
+    rng = rng or np.random.default_rng(0)
+    rows, cols = _grid_shape(cfg)
+    h = np.zeros((rows, cols))
+    obs_h = cfg.obstacle_height_range[0] + difficulty * (
+        cfg.obstacle_height_range[1] - cfg.obstacle_height_range[0]
+    )
+    w_min = max(int(cfg.obstacle_width_range[0] / cfg.horizontal_scale), 1)
+    w_max = max(int(cfg.obstacle_width_range[1] / cfg.horizontal_scale), w_min)
+    min_dist = int(1.5 / cfg.horizontal_scale)
+
+    # cuboids with a min centre-to-centre distance (rejection sampling,
+    # bounded tries so degenerate cfgs cannot loop forever)
+    centers, placed, tries = [], 0, 0
+    while placed < cfg.num_obstacles and tries < cfg.num_obstacles * 30:
+        tries += 1
+        if cfg.obstacle_height_mode == "choice":
+            hh = rng.choice([-obs_h, -obs_h / 2, obs_h / 2, obs_h])
+        else:
+            hh = obs_h
+        ww = int(rng.integers(w_min, w_max + 1))
+        wl = int(rng.integers(w_min, w_max + 1))
+        if rows - ww <= 0 or cols - wl <= 0:
+            continue
+        r = int(rng.integers(0, rows - ww + 1))
+        c = int(rng.integers(0, cols - wl + 1))
+        ctr = (r + ww // 2, c + wl // 2)
+        if any(
+            abs(ctr[0] - p[0]) < min_dist and abs(ctr[1] - p[1]) < min_dist
+            for p in centers
+        ):
+            continue
+        h[r : r + ww, c : c + wl] = hh
+        centers.append(ctr)
+        placed += 1
+
+    # cylinders
+    cyl_h = cfg.cylinder_height if cfg.cylinder_height is not None else obs_h
+    r_min = max(int(cfg.cylinder_radius_range[0] / cfg.horizontal_scale), 1)
+    r_max = max(int(cfg.cylinder_radius_range[1] / cfg.horizontal_scale), r_min)
+    rr, cc_grid = np.meshgrid(
+        np.arange(rows), np.arange(cols), indexing="ij"
+    )
+    cyl_centers, placed, tries = [], 0, 0
+    while placed < cfg.num_cylinders and tries < cfg.num_cylinders * 30:
+        tries += 1
+        rad = int(rng.integers(r_min, r_max + 1))
+        if rows - 2 * rad <= 0 or cols - 2 * rad <= 0:
+            continue
+        r = int(rng.integers(rad, rows - rad))
+        c = int(rng.integers(rad, cols - rad))
+        if any(
+            abs(r - p[0]) < min_dist and abs(c - p[1]) < min_dist
+            for p in cyl_centers
+        ):
+            continue
+        h[(rr - r) ** 2 + (cc_grid - c) ** 2 <= rad**2] = cyl_h
+        cyl_centers.append((r, c))
+        placed += 1
+
+    # walls
+    wall_h = cfg.wall_height_range[0] + difficulty * (
+        cfg.wall_height_range[1] - cfg.wall_height_range[0]
+    )
+    _place_walls(h, cfg, rng, cfg.num_walls, wall_h)
+
+    pw = max(int(cfg.platform_width / cfg.horizontal_scale / 2), 1)
+    h[rows // 2 - pw : rows // 2 + pw, cols // 2 - pw : cols // 2 + pw] = 0.0
+    return h
+
+
+@configclass
 class HfFlatTerrainCfg(SubTerrainCfg):
     function: object = None
 
