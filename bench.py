@@ -8,12 +8,21 @@ headline cartpole metric LAST so a tail-line parser records it:
   shadow_repose_env_step_fps_8192envs_1chip  vs 200k  (4090, rst:63)
   cartpole_env_step_fps_4096envs_1chip       vs 1.10M (4090, rst:57)
 
-Each extra workload is individually fault-isolated; set BENCH_HEADLINE_ONLY=1
-to skip the locomotion/shadow rows (e.g. on a cold compile cache).
+Fault isolation is PROCESS-LEVEL: each workload runs in its own Python
+subprocess so a TPU-worker crash (the round-2 failure mode: one workload
+kernel-faulted the worker and took every subsequent in-process workload
+down with it) costs exactly one row. Results come back over stdout JSON.
+
+Actions are random (fixed PRNG), not zeros — zero actions leave contact
+-heavy workloads standing still and understate solver cost vs the
+reference's random-action benchmark (`scripts/benchmarks/benchmark_non_rl.py`).
+
+Set BENCH_HEADLINE_ONLY=1 to run only the cartpole row.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,9 +33,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # reference 1x RTX 4090 step-FPS (BASELINE.md)
-BASELINE_CARTPOLE_STEP_FPS = 1_100_000.0  # performance_benchmarks.rst:57
-BASELINE_ROUGH_STEP_FPS = 94_000.0  # Velocity-Rough-G1, rst:61
-BASELINE_SHADOW_STEP_FPS = 200_000.0  # Repose-Cube-Shadow, rst:63
+BASELINES = {
+    "cartpole_env_step_fps_4096envs_1chip": 1_100_000.0,  # rst:57
+    "anymal_rough_env_step_fps_4096envs_1chip": 94_000.0,  # Rough-G1 proxy, rst:61
+    "shadow_repose_env_step_fps_8192envs_1chip": 200_000.0,  # rst:63
+}
+# Per-workload subprocess wall clamp (compile can take minutes cold).
+WORKLOAD_TIMEOUT_S = float(os.environ.get("BENCH_WORKLOAD_TIMEOUT", 1500))
 
 
 def _measure(env, num_envs, steps_per_call=64, seconds=3.0):
@@ -39,17 +52,21 @@ def _measure(env, num_envs, steps_per_call=64, seconds=3.0):
     ) else env.num_actions
 
     @jax.jit
-    def run_chunk(s):
-        # NOTE: the action buffer is created INSIDE the trace — closing over
+    def run_chunk(s, key):
+        # NOTE: action buffers are created INSIDE the trace — closing over
         # an eagerly-created device array forces a trace-time device-to-host
         # copy that permanently degrades dispatch over the axon TPU tunnel.
-        action = jnp.zeros((num_envs, act_dim))
-
-        def body(carry, _):
+        # Random actions (not zeros): contact-heavy workloads must move so
+        # collision/solver cost matches the reference's random-action bench.
+        def body(carry, k):
+            action = jax.random.uniform(
+                k, (num_envs, act_dim), minval=-1.0, maxval=1.0
+            )
             s2, _out = env.step_state(carry, action)
             return s2, None
 
-        s, _ = jax.lax.scan(body, s, None, length=steps_per_call)
+        keys = jax.random.split(key, steps_per_call)
+        s, _ = jax.lax.scan(body, s, keys)
         return s
 
     # warmup/compile. NOTE: sync via device_get of a scalar — over the axon
@@ -58,14 +75,17 @@ def _measure(env, num_envs, steps_per_call=64, seconds=3.0):
     def sync(s):
         jax.device_get(s.scene.phys.q[0, 0])
 
-    state = run_chunk(state)
+    key = jax.random.PRNGKey(1)
+    key, k = jax.random.split(key)
+    state = run_chunk(state, k)
     sync(state)
 
     # time-based loop: enough chunks to dominate timer/dispatch noise
     n_calls = 0
     t0 = time.perf_counter()
     while True:
-        state = run_chunk(state)
+        key, k = jax.random.split(key)
+        state = run_chunk(state, k)
         n_calls += 1
         if n_calls % 4 == 0:
             sync(state)
@@ -74,20 +94,6 @@ def _measure(env, num_envs, steps_per_call=64, seconds=3.0):
     sync(state)
     dt = time.perf_counter() - t0
     return n_calls * steps_per_call * num_envs / dt
-
-
-def _emit(metric, fps, baseline):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(fps),
-                "unit": "env-steps/s",
-                "vs_baseline": round(fps / baseline, 4),
-            }
-        ),
-        flush=True,
-    )
 
 
 def bench_anymal_rough(num_envs):
@@ -125,38 +131,76 @@ def bench_cartpole(num_envs):
     return _measure(env, num_envs, steps_per_call=64)
 
 
-def main():
-    results = {}
-    if not os.environ.get("BENCH_HEADLINE_ONLY"):
-        for name, fn, envs, base in (
-            (
-                "anymal_rough_env_step_fps_4096envs_1chip",
-                bench_anymal_rough,
-                int(os.environ.get("BENCH_ROUGH_ENVS", 4096)),
-                BASELINE_ROUGH_STEP_FPS,
-            ),
-            (
-                "shadow_repose_env_step_fps_8192envs_1chip",
-                bench_shadow,
-                int(os.environ.get("BENCH_SHADOW_ENVS", 8192)),
-                BASELINE_SHADOW_STEP_FPS,
-            ),
-        ):
-            try:
-                fps = fn(envs)
-                results[name] = fps
-                _emit(name, fps, base)
-            except Exception as e:  # fault-isolate: headline must still print
-                print(f"# bench {name} failed: {e!r}", file=sys.stderr)
+WORKLOADS = {
+    "anymal_rough_env_step_fps_4096envs_1chip": (
+        bench_anymal_rough,
+        "BENCH_ROUGH_ENVS",
+        4096,
+    ),
+    "shadow_repose_env_step_fps_8192envs_1chip": (
+        bench_shadow,
+        "BENCH_SHADOW_ENVS",
+        8192,
+    ),
+    "cartpole_env_step_fps_4096envs_1chip": (
+        bench_cartpole,
+        "BENCH_NUM_ENVS",
+        4096,
+    ),
+}
 
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    fps = bench_cartpole(num_envs)
-    results["cartpole_env_step_fps_4096envs_1chip"] = fps
-    _emit(
-        "cartpole_env_step_fps_4096envs_1chip", fps, BASELINE_CARTPOLE_STEP_FPS
-    )
-    return results
+
+def _run_one(name):
+    """Child-process entry: run one workload, print its JSON row."""
+    fn, env_var, default_envs = WORKLOADS[name]
+    num_envs = int(os.environ.get(env_var, default_envs))
+    fps = fn(num_envs)
+    row = {
+        "metric": name,
+        "value": round(fps),
+        "unit": "env-steps/s",
+        "vs_baseline": round(fps / BASELINES[name], 4),
+    }
+    if name.startswith("anymal_rough"):
+        # baseline row is Velocity-Rough-G1 (biped, 37 bodies); we bench
+        # AnymalCRough as the closest contact+raycast-heavy proxy
+        row["proxy_for"] = "Isaac-Velocity-Rough-G1-v0"
+    print(json.dumps(row), flush=True)
+
+
+def main():
+    order = list(WORKLOADS)
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        order = ["cartpole_env_step_fps_4096envs_1chip"]
+    for name in order:
+        # one Python process per workload: a TPU worker crash kills the
+        # child, the parent prints the rows that did succeed
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--workload", name],
+                capture_output=True,
+                text=True,
+                timeout=WORKLOAD_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# bench {name} timed out", file=sys.stderr)
+            continue
+        row = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
+        )
+        if proc.returncode == 0 and row:
+            print(row, flush=True)
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-8:]
+            print(
+                f"# bench {name} failed rc={proc.returncode}: "
+                + " | ".join(tail),
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--workload":
+        _run_one(sys.argv[2])
+    else:
+        main()

@@ -1,8 +1,12 @@
 """Learned actuator-dynamics models (reference ``actuators/actuator_net.py``).
 
-The reference loads TorchScript nets from Nucleus (``actuator_net.py:45,124``);
-here they are small Flax modules with locally-supplied parameters (converted
-weights or randomly initialized for testing).
+The reference loads TorchScript nets from Nucleus (``actuator_net.py:45,124``).
+This build has zero egress, so the same architectures ship with weights fitted
+offline to a documented ANYdrive-like series-elastic model (PD 40/5, DC-motor
+saturation, 20 ms lag, Coulomb+viscous friction — ``tools/fit_actuator_net.py``)
+committed under ``actuators/data/*.npz``. ``network_file`` loads any such
+archive; ``network_params`` injects params directly; with neither, random
+init (tests only).
 """
 
 from __future__ import annotations
@@ -39,6 +43,31 @@ class _LSTMCell(nn.Module):
         return nn.OptimizedLSTMCell(self.features)(carry, x)
 
 
+
+
+def _load_network_file(path):
+    """Load a flat ``key/path -> array`` npz into a nested flax param dict."""
+    import numpy as _np
+    from flax.traverse_util import unflatten_dict
+
+    data = dict(_np.load(path))
+    extras = {k: v for k, v in data.items() if k.startswith("out_proj/")}
+    params = unflatten_dict(
+        {tuple(k.split("/")): v for k, v in data.items()
+         if not k.startswith("out_proj/")}
+    )
+    return params, extras
+
+
+def _default_network_file(name):
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", name)
+    return p if os.path.exists(p) else None
+
+
+
+
 class ActuatorNetMLP(DCMotor):
     """MLP over (pos_error, vel) history -> torque
     (reference actuator_net.py:102)."""
@@ -48,8 +77,11 @@ class ActuatorNetMLP(DCMotor):
         self.history_len = int(cfg.input_idx[-1] + 1) if cfg.input_idx else 3
         self.input_idx = tuple(cfg.input_idx) if cfg.input_idx else (0, 1, 2)
         self.net = _MLP()
+        net_file = cfg.network_file or _default_network_file("anydrive_3_mlp.npz")
         if cfg.network_params is not None:
             self.params = cfg.network_params
+        elif net_file is not None:
+            self.params, _ = _load_network_file(net_file)
         else:
             # init on the CPU backend + keep numpy: device-array closures
             # force trace-time D2H (degrades tunneled-TPU runtimes)
@@ -113,20 +145,30 @@ class ActuatorNetLSTM(DCMotor):
             jnp.zeros((1, self.features)),
             jnp.zeros((1, self.features)),
         )
+        import numpy as _np
+
+        net_file = cfg.network_file or _default_network_file(
+            "anydrive_3_lstm.npz"
+        )
+        self.out_proj = _np.zeros((self.features, 1), dtype=_np.float32)
+        self.out_bias = _np.zeros((1,), dtype=_np.float32)
+        self.out_proj[0, 0] = 1.0
         if cfg.network_params is not None:
             self.params = cfg.network_params
+        elif net_file is not None:
+            self.params, extras = _load_network_file(net_file)
+            if "out_proj/kernel" in extras:
+                self.out_proj = extras["out_proj/kernel"].astype(_np.float32)
+                self.out_bias = extras["out_proj/bias"].astype(_np.float32)
         else:
             with jax.default_device(jax.devices("cpu")[0]):
                 p0 = self.cell.init(
                     jax.random.PRNGKey(0), dummy_carry, jnp.zeros((1, 2))
                 )
-            import numpy as _np
-
             self.params = jax.tree.map(_np.asarray, p0)
-        import numpy as _np2
-
-        self.out_proj = _np2.zeros((self.features, 1), dtype=_np2.float32)
-        self.out_proj[0, 0] = 1.0
+        self.pos_scale = float(cfg.pos_scale)
+        self.vel_scale = float(cfg.vel_scale)
+        self.torque_scale = float(cfg.torque_scale)
 
     def init_state(self, num_envs: int):
         n = self.num_joints * num_envs
@@ -142,11 +184,14 @@ class ActuatorNetLSTM(DCMotor):
 
     def compute(self, state, control: ActuatorCommand, q, qd):
         c, h = state.buffers
-        err = (control.pos_target - q).reshape(-1, 1)
-        vel = qd.reshape(-1, 1)
+        err = (control.pos_target - q).reshape(-1, 1) * self.pos_scale
+        vel = qd.reshape(-1, 1) * self.vel_scale
         x = jnp.concatenate([err, vel], axis=-1)
         (c, h), out = self.cell.apply(self.params, (c, h), x)
-        tau = (out @ self.out_proj).reshape(q.shape)
+        tau = (
+            (out @ self.out_proj + self.out_bias).reshape(q.shape)
+            * self.torque_scale
+        )
         tau = self._clip(tau, qd)
         zeros = jnp.zeros_like(tau)
         return (
@@ -159,9 +204,10 @@ class ActuatorNetLSTM(DCMotor):
 class ActuatorNetMLPCfg(DCMotorCfg):
     class_type: type = ActuatorNetMLP
     network_params: object = None
+    network_file: str = None  # npz from tools/fit_actuator_net.py
     pos_scale: float = 1.0
-    vel_scale: float = 1.0
-    torque_scale: float = 1.0
+    vel_scale: float = 0.1
+    torque_scale: float = 80.0
     input_idx: tuple = (0, 1, 2)
 
 
@@ -169,4 +215,8 @@ class ActuatorNetMLPCfg(DCMotorCfg):
 class ActuatorNetLSTMCfg(DCMotorCfg):
     class_type: type = ActuatorNetLSTM
     network_params: object = None
+    network_file: str = None  # npz from tools/fit_actuator_net.py
     hidden_dim: int = 8
+    pos_scale: float = 1.0
+    vel_scale: float = 0.1
+    torque_scale: float = 80.0

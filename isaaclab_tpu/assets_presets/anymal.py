@@ -109,8 +109,8 @@ ANYMAL_C_CFG = ArticulationCfg(
             saturation_effort=120.0,
             effort_limit=80.0,
             velocity_limit=7.5,
-            stiffness={".*": 85.0},
-            damping={".*": 2.0},
+            stiffness={".*": 40.0},
+            damping={".*": 5.0},
         )
     },
 )
@@ -125,8 +125,8 @@ ANYMAL_B_CFG = ArticulationCfg(
             saturation_effort=120.0,
             effort_limit=80.0,
             velocity_limit=7.5,
-            stiffness={".*": 85.0},
-            damping={".*": 2.0},
+            stiffness={".*": 40.0},
+            damping={".*": 5.0},
         )
     },
 )

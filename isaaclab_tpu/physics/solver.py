@@ -41,6 +41,12 @@ class SolverCfg(NamedTuple):
     contact_slop: float = 0.005
     restitution_threshold: float = 0.2  # m/s
     limit_baumgarte: float = 0.2
+    # PhysX ``max_depenetration_velocity`` (reference robot cfgs set 1.0,
+    # isaaclab_assets/robots/anymal.py:70): caps the Baumgarte bias velocity
+    # so deep spawn penetrations depenetrate at a bounded rate instead of
+    # launching the body (velocity-level Baumgarte otherwise injects
+    # kinetic energy proportional to penetration depth).
+    max_depenetration_velocity: float = 1.0
 
 
 _ANCESTOR_MASK_CACHE: dict = {}
@@ -295,7 +301,9 @@ def solve_constraints(
             v_n_pre < -cfg.restitution_threshold, v_n_pre, 0.0
         )
         pen = jnp.maximum(contacts.depth - cfg.contact_slop, 0.0)
-        bias_n = -cfg.baumgarte / dt * pen + rest
+        bias_n = -jnp.minimum(
+            cfg.baumgarte / dt * pen, cfg.max_depenetration_velocity
+        ) + rest
         b = b.at[:ncon].add(bias_n)
     if n_lim:
         li = jnp.asarray(lim_idx)
@@ -428,7 +436,11 @@ def solve_constraints_batch(
             v_n_pre < -cfg.restitution_threshold, v_n_pre, 0.0
         )
         pen = jnp.maximum(contacts_b.depth - cfg.contact_slop, 0.0)
-        b = b.at[:, :ncon].add(-cfg.baumgarte / dt * pen + rest)
+        b = b.at[:, :ncon].add(
+            -jnp.minimum(cfg.baumgarte / dt * pen,
+                         cfg.max_depenetration_velocity)
+            + rest
+        )
     if n_lim:
         li = jnp.asarray(lim_idx)
         lo = (jnp.broadcast_to(jnp.asarray(model.dof_limit_lower), q_arts.shape)
