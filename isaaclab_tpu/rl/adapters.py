@@ -5,6 +5,12 @@ The torch-based libraries expect numpy/torch tensors with gym-vec semantics;
 these wrappers bridge the jitted jax env to that interface host-side. The
 in-repo PPO runner remains the fast path (on-device rollouts); adapters exist
 for users bringing their own trainer.
+
+Spaces are derived from the env's real ``single_observation_space`` /
+``single_action_space`` (including Dict observation groups and bounded Box
+actions), mirroring the reference's conversion rules: observation boxes are
+clipped to ``±clip_obs``; Box action bounds are clipped to ``±clip_actions``
+(reference rl_games.py space conversion).
 """
 
 from __future__ import annotations
@@ -12,8 +18,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def _clip_box_space(space, clip):
+    """Return ``space`` with Box bounds clipped to ±clip (reference
+    rl_games.py obs/action space conversion); non-Box spaces pass through."""
+    import gymnasium as gym
+
+    if isinstance(space, gym.spaces.Dict):
+        return gym.spaces.Dict(
+            {k: _clip_box_space(v, clip) for k, v in space.spaces.items()}
+        )
+    if isinstance(space, gym.spaces.Box) and np.isfinite(clip):
+        low = np.maximum(space.low, -clip)
+        high = np.minimum(space.high, clip)
+        return gym.spaces.Box(low=low, high=high, shape=space.shape,
+                              dtype=space.dtype)
+    return space
+
+
 class _NumpyVecEnvBase:
-    """Common: jax env -> numpy step/reset."""
+    """Common: jax env -> numpy step/reset; real gym spaces."""
 
     def __init__(self, env, clip_obs: float = np.inf, clip_actions: float = np.inf):
         self.env = env
@@ -28,13 +51,21 @@ class _NumpyVecEnvBase:
         else:
             self.num_obs = uenv.num_observations
             self.num_actions = uenv.num_actions
+        # real env spaces (Dict obs groups, possibly bounded Box actions)
+        self.single_observation_space = uenv.single_observation_space["policy"]
+        self.single_action_space = uenv.single_action_space
 
     @property
     def unwrapped(self):
         return self.env.unwrapped
 
     def _to_np(self, x):
+        if isinstance(x, dict):
+            return {k: self._to_np(v) for k, v in x.items()}
         return np.clip(np.asarray(x), -self._clip_obs, self._clip_obs)
+
+    def _policy_obs(self, obs):
+        return self._to_np(obs["policy"])
 
     def close(self):
         self.env.close()
@@ -51,7 +82,7 @@ class RlGamesVecEnvWrapper(_NumpyVecEnvBase):
 
     def reset(self):
         obs, _ = self.env.reset()
-        return {"obs": self._to_np(obs["policy"])}
+        return {"obs": self._policy_obs(obs)}
 
     def step(self, actions):
         actions = np.clip(np.asarray(actions), -self._clip_actions, self._clip_actions)
@@ -59,7 +90,7 @@ class RlGamesVecEnvWrapper(_NumpyVecEnvBase):
         dones = np.asarray(terminated | truncated)
         info = {"time_outs": np.asarray(truncated)}
         return (
-            {"obs": self._to_np(obs["policy"])},
+            {"obs": self._policy_obs(obs)},
             np.asarray(rew),
             dones,
             info,
@@ -69,29 +100,30 @@ class RlGamesVecEnvWrapper(_NumpyVecEnvBase):
         return 1
 
     def get_env_info(self) -> dict:
-        import gymnasium as gym
-
         return {
-            "observation_space": gym.spaces.Box(-np.inf, np.inf, (self.num_obs,)),
-            "action_space": gym.spaces.Box(-1.0, 1.0, (self.num_actions,)),
+            "observation_space": _clip_box_space(
+                self.single_observation_space, self._clip_obs
+            ),
+            "action_space": _clip_box_space(
+                self.single_action_space, self._clip_actions
+            ),
         }
 
 
 class Sb3VecEnvWrapper(_NumpyVecEnvBase):
     """Reference ``Sb3VecEnvWrapper`` (isaaclab_rl/sb3.py): stable-baselines3
-    VecEnv interface (step_async/step_wait)."""
+    VecEnv interface (step_async/step_wait); Dict observation groups map to
+    gym Dict spaces like the reference's dict-obs support."""
 
     def __init__(self, env, fast_variant: bool = True):
         super().__init__(env)
+        self.observation_space = self.single_observation_space
+        self.action_space = self.single_action_space
         self._async_actions = None
-        import gymnasium as gym
-
-        self.observation_space = gym.spaces.Box(-np.inf, np.inf, (self.num_obs,))
-        self.action_space = gym.spaces.Box(-1.0, 1.0, (self.num_actions,))
 
     def reset(self):
         obs, _ = self.env.reset()
-        return self._to_np(obs["policy"])
+        return self._policy_obs(obs)
 
     def step_async(self, actions):
         self._async_actions = actions
@@ -103,7 +135,7 @@ class Sb3VecEnvWrapper(_NumpyVecEnvBase):
             {"TimeLimit.truncated": bool(t) and not bool(d)}
             for t, d in zip(np.asarray(truncated), np.asarray(terminated))
         ]
-        return self._to_np(obs["policy"]), np.asarray(rew), dones, infos
+        return self._policy_obs(obs), np.asarray(rew), dones, infos
 
     def step(self, actions):
         self.step_async(actions)
@@ -120,14 +152,22 @@ class SkrlVecEnvWrapper(_NumpyVecEnvBase):
     """Reference ``SkrlVecEnvWrapper`` (isaaclab_rl/skrl.py): gymnasium-style
     5-tuple pass-through (skrl consumes torch/np directly)."""
 
+    @property
+    def observation_space(self):
+        return self.single_observation_space
+
+    @property
+    def action_space(self):
+        return self.single_action_space
+
     def reset(self):
         obs, info = self.env.reset()
-        return self._to_np(obs["policy"]), info
+        return self._policy_obs(obs), info
 
     def step(self, actions):
         obs, rew, terminated, truncated, extras = self.env.step(np.asarray(actions))
         return (
-            self._to_np(obs["policy"]),
+            self._policy_obs(obs),
             np.asarray(rew),
             np.asarray(terminated),
             np.asarray(truncated),
