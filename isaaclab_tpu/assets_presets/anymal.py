@@ -72,6 +72,23 @@ def build_anymal_model(name="anymal_c", base_mass=27.0, leg_scale=1.0,
 
 
 def build_anymal_c_model():
+    """ANYmal-C from the committed URDF (anymal_c_simple_description
+    parameters) through the production URDF converter — reference pattern:
+    cfg dataclasses point at description files (SURVEY.md 2.13), loaded by
+    ``sim/converters.load_urdf`` instead of hand-built arrays."""
+    import os
+
+    from ..sim.converters import load_urdf
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "anymal_c.urdf"
+    )
+    return load_urdf(path, floating_base=True, name="anymal_c")
+
+
+def build_anymal_c_model_programmatic():
+    """Hand-built fallback (kept for the B/D scaled variants and for
+    model-construction tests)."""
     return build_anymal_model("anymal_c")
 
 

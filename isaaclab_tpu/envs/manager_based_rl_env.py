@@ -106,6 +106,18 @@ class ManagerBasedRLEnv(ManagerBasedEnv):
                 else {}
             ),
         )
+        # seed the terrain curriculum from the importer's initial level
+        # assignment (reference: random levels up to max_init_terrain_level)
+        if (
+            self.curriculum_manager
+            and "terrain_levels" in state.curriculum
+            and self.scene.terrain is not None
+        ):
+            cur = dict(state.curriculum)
+            cur["terrain_levels"] = jnp.asarray(
+                self.scene.terrain.terrain_levels, dtype=jnp.float32
+            )
+            state = state._replace(curriculum=cur)
         # initial command resample for all envs
         if self.command_manager:
             ctx = self.make_context(state)
@@ -203,6 +215,15 @@ class ManagerBasedRLEnv(ManagerBasedEnv):
             )
             state = state._replace(curriculum=cur_state)
             logs.update(cur_logs)
+            # terrain curriculum: move promoted/demoted envs to their new
+            # difficulty row's cell (reference terrain_importer env-origin
+            # update driven by terrain_levels_vel)
+            if "terrain_levels" in cur_state:
+                state = state._replace(
+                    scene=self.scene.apply_terrain_levels(
+                        state.scene, cur_state["terrain_levels"], mask
+                    )
+                )
         # scene reset to defaults (key feeds sensor drift resampling)
         key, k_scene = jax.random.split(state.key)
         state = state._replace(key=key)

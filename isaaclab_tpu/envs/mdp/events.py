@@ -107,7 +107,11 @@ def reset_root_state_from_terrain(env, scene_state, key, mask,
     xy = default[:, 0:2] + jnp.stack([dx, dy], -1)
     terrain = env.scene.terrain
     if terrain is not None and terrain.height_field is not None:
-        offs = env._env.scene.terrain_offsets()
+        offs = (
+            scene_state.terrain_offsets
+            if getattr(scene_state, "terrain_offsets", None) is not None
+            else env._env.scene.terrain_offsets()
+        )
         h = jax.vmap(lambda p, o: terrain.sample_height(p, o))(xy, offs)
     else:
         h = jnp.zeros(E)

@@ -39,6 +39,12 @@ class HeightField(NamedTuple):
     heights: jnp.ndarray
     horizontal_scale: float
     origin: jnp.ndarray  # (2,)
+    # optional (rows, cols, 4) packed [h, nx, ny, nz] grid: one bilinear
+    # fetch yields height AND normal as a single 4-wide gather per corner
+    # instead of 5 separate scalar-gather sample() calls (1 height + 4
+    # finite-difference taps) — the terrain-contact path is gather-bound on
+    # TPU, and this cuts its gather count 5x
+    packed: jnp.ndarray = None
 
     def sample(self, xy):
         """Bilinear height lookup at world (..., 2) positions; O(1) per query,
@@ -64,6 +70,36 @@ class HeightField(NamedTuple):
             + h01 * (1 - fr) * fc
             + h11 * fr * fc
         )
+
+    def _bilinear_packed(self, xy):
+        P = jnp.asarray(self.packed)
+        rel = (xy - jnp.asarray(self.origin)) / self.horizontal_scale
+        r, c = rel[..., 0], rel[..., 1]
+        nr, nc = P.shape[0], P.shape[1]
+        r = jnp.clip(r, 0.0, nr - 1.001)
+        c = jnp.clip(c, 0.0, nc - 1.001)
+        r0 = jnp.floor(r).astype(jnp.int32)
+        c0 = jnp.floor(c).astype(jnp.int32)
+        fr = (r - r0)[..., None]
+        fc = (c - c0)[..., None]
+        p00 = P[r0, c0]
+        p10 = P[r0 + 1, c0]
+        p01 = P[r0, c0 + 1]
+        p11 = P[r0 + 1, c0 + 1]
+        return (
+            p00 * (1 - fr) * (1 - fc)
+            + p10 * fr * (1 - fc)
+            + p01 * (1 - fr) * fc
+            + p11 * fr * fc
+        )
+
+    def sample_hn(self, xy):
+        """(height, unit normal) in one pass via the packed grid when
+        available; falls back to sample()+normal()."""
+        if self.packed is None:
+            return self.sample(xy), self.normal(xy)
+        v = self._bilinear_packed(xy)
+        return v[..., 0], math_utils.normalize(v[..., 1:4])
 
     def normal(self, xy, eps: float = 0.05):
         """Finite-difference surface normal at world (..., 2) positions."""
@@ -103,7 +139,7 @@ def _terrain_height_normal(terrain, xy):
         h = jnp.zeros(xy.shape[:-1])
         n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), xy.shape[:-1] + (3,))
         return h, n
-    return terrain.sample(xy), terrain.normal(xy)
+    return terrain.sample_hn(xy)
 
 
 def _ground_candidates_for_geom(geom, pos, quat, terrain):
@@ -189,14 +225,88 @@ def _point_vs_box(p, box, box_pos, box_quat, witness_dir):
     return point, normal, depth
 
 
+def _box_edge_contact(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
+    """Single SAT edge-edge contact candidate between two boxes.
+
+    Runs the full 15-axis separating-axis test (6 face + 9 edge-cross axes).
+    Emits a real contact (depth > 0) ONLY when the boxes overlap on every
+    axis AND the minimal-overlap axis is an edge-cross axis — the exact case
+    the corner-sampling candidates miss (corner sampling catches all face-
+    minimal configurations). Branch-free: always returns one
+    (point, normal_b_to_a, depth) tuple, masked by negative depth otherwise.
+    """
+    Ra = math_utils.matrix_from_quat(quat_a)  # columns = box axes
+    Rb = math_utils.matrix_from_quat(quat_b)
+    ha = jnp.asarray(geom_a.size)
+    hb = jnp.asarray(geom_b.size)
+    t = pos_b - pos_a
+
+    def overlap_on(L):
+        proj_a = jnp.sum(ha * jnp.abs(Ra.T @ L))
+        proj_b = jnp.sum(hb * jnp.abs(Rb.T @ L))
+        return proj_a + proj_b - jnp.abs(jnp.dot(t, L))
+
+    # face axes (6 -> 3 unique directions per box)
+    face_overlaps = jnp.stack(
+        [overlap_on(Ra[:, k]) for k in range(3)]
+        + [overlap_on(Rb[:, k]) for k in range(3)]
+    )
+    # edge-cross axes (9)
+    edge_axes, edge_overlaps, edge_ij = [], [], []
+    for i in range(3):
+        for j in range(3):
+            L = jnp.cross(Ra[:, i], Rb[:, j])
+            norm = jnp.linalg.norm(L)
+            ok = norm > 1e-6
+            Ln = L / jnp.maximum(norm, 1e-9)
+            edge_axes.append(Ln)
+            # degenerate (parallel) axes can never be the separating axis;
+            # mask them out of the argmin with +inf
+            edge_overlaps.append(jnp.where(ok, overlap_on(Ln), jnp.inf))
+            edge_ij.append((i, j))
+    edge_axes = jnp.stack(edge_axes)  # (9, 3)
+    edge_overlaps = jnp.stack(edge_overlaps)  # (9,)
+
+    all_overlap = jnp.all(face_overlaps > 0.0) & jnp.all(
+        jnp.where(jnp.isinf(edge_overlaps), 1.0, edge_overlaps) > 0.0
+    )
+    k = jnp.argmin(edge_overlaps)
+    min_edge = edge_overlaps[k]
+    edge_is_minimal = min_edge < jnp.min(face_overlaps)
+    L = edge_axes[k]
+    # orient the normal from B toward A
+    sgn = jnp.where(jnp.dot(t, L) > 0.0, -1.0, 1.0)
+    n = L * sgn  # points from b to a
+    # support edges: A's edge along axis i at the corner extremal in -n,
+    # B's edge along axis j at the corner extremal in +n
+    i_idx = jnp.asarray([ij[0] for ij in edge_ij])[k]
+    j_idx = jnp.asarray([ij[1] for ij in edge_ij])[k]
+    eye = jnp.eye(3)
+    mask_a = 1.0 - eye[i_idx]  # zero out the edge direction component
+    mask_b = 1.0 - eye[j_idx]
+    sign_a = jnp.sign(Ra.T @ (-n))
+    sign_a = jnp.where(sign_a == 0.0, 1.0, sign_a) * mask_a
+    sign_b = jnp.sign(Rb.T @ n)
+    sign_b = jnp.where(sign_b == 0.0, 1.0, sign_b) * mask_b
+    ca = pos_a + Ra @ (sign_a * ha)  # midpoint of A's support edge
+    cb = pos_b + Rb @ (sign_b * hb)
+    da = Ra @ (eye[i_idx] * ha)  # half-edge vectors
+    db = Rb @ (eye[j_idx] * hb)
+    p_a, p_b = _closest_segment_points(ca - da, ca + da, cb - db, cb + db)
+    point = 0.5 * (p_a + p_b)
+    depth = jnp.where(all_overlap & edge_is_minimal, min_edge, -1.0)
+    return point, n, depth
+
+
 def box_box_contacts(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
-    """Box-box narrowphase via corner-point sampling: the 8 corners of each
-    box tested against the other (16 fixed-size candidates). Exact for the
+    """Box-box narrowphase: 16 corner-sample candidates + 1 SAT edge-edge
+    candidate (17 fixed-size rows). Corner sampling is exact for the
     face-on-face resting/stacking configurations that dominate manipulation
-    workloads (cube stacking, factory assembly); edge-edge-only penetrations
-    are picked up one substep later once a corner crosses a face. Replaces
-    PhysX's SAT/GJK box pair (reference relies on PhysX narrowphase,
-    SURVEY.md §2.10) with a branch-free candidate set that vmaps cleanly.
+    workloads (cube stacking, factory assembly); the SAT candidate
+    (_box_edge_contact) catches edge-minimal penetrations in the same
+    substep instead of one substep late. Replaces PhysX's SAT/GJK box pair
+    (reference relies on PhysX narrowphase, SURVEY.md §2.10) with a
+    branch-free candidate set that vmaps cleanly.
 
     Returns lists of (point, normal_b_to_a, depth) — corners of A vs B keep
     the outward normal of B (already b->a); corners of B vs A are flipped.
@@ -210,13 +320,78 @@ def box_box_contacts(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
     for p in _box_corners(geom_b, pos_b, quat_b):
         point, normal, depth = _point_vs_box(p, geom_a, pos_a, quat_a, -w_ab)
         out.append((point, -normal, depth))
+    out.append(_box_edge_contact(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b))
     return out
+
+
+def capsule_capsule_contacts(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
+    """Capsule-capsule narrowphase with a 2-point parallel manifold.
+
+    Non-parallel axes: one closest-point contact (+ one masked slot).
+    Near-parallel axes (gripper pads along a grasped peg): TWO contacts at
+    the ends of the axis-overlap interval — a single mid-overlap point
+    leaves the grasped body free to pivot about the contact line (no
+    friction lever arm), so grasps wobble; the two-point couple rigidifies
+    rotation exactly like PhysX's patch manifolds.
+    """
+
+    def seg(geom, pos, quat):
+        axis = math_utils.quat_apply(quat, jnp.array([0.0, 0.0, 1.0]))
+        hl = geom.size[1]
+        return pos - axis * hl, pos + axis * hl, geom.size[0]
+
+    a0, a1, ra = seg(geom_a, pos_a, quat_a)
+    b0, b1, rb = seg(geom_b, pos_b, quat_b)
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    b = jnp.dot(d1, d2)
+    c = jnp.dot(d1, r)
+    denom = a * e - b * b
+    # ~10-degree parallel band (see _closest_segment_points)
+    parallel = denom <= 0.03 * jnp.maximum(a * e, 1e-12)
+
+    def contact_at(s):
+        p_a = a0 + d1 * s
+        t = jnp.clip(
+            (b * s + jnp.dot(d2, r)) / jnp.maximum(e, 1e-12), 0.0, 1.0
+        )
+        p_b = b0 + d2 * t
+        delta = p_a - p_b
+        dist = jnp.linalg.norm(delta)
+        normal = delta / jnp.maximum(dist, 1e-9)
+        depth = (ra + rb) - dist
+        point = p_b + normal * (rb - depth * 0.5)
+        return point, normal, depth
+
+    # parallel overlap interval in A's param
+    p0 = -c / jnp.maximum(a, 1e-12)
+    p1 = (b - c) / jnp.maximum(a, 1e-12)
+    lo = jnp.clip(jnp.minimum(p0, p1), 0.0, 1.0)
+    hi = jnp.clip(jnp.maximum(p0, p1), 0.0, 1.0)
+    # generic closest point for the non-parallel case
+    p_a_gen, p_b_gen = _closest_segment_points(a0, a1, b0, b1)
+    s_gen = jnp.dot(p_a_gen - a0, d1) / jnp.maximum(a, 1e-12)
+
+    s_first = jnp.where(parallel, lo, s_gen)
+    pt1, n1, dep1 = contact_at(s_first)
+    pt2, n2, dep2 = contact_at(hi)
+    # second slot only participates for parallel overlapping axes
+    dep2 = jnp.where(parallel & (hi > lo), dep2, -1.0)
+    return [(pt1, n1, dep1), (pt2, n2, dep2)]
+
+
+_CAPSULE_LIKE = (GEOM_CAPSULE, GEOM_CYLINDER)
 
 
 def num_pair_contacts(geom_a, geom_b) -> int:
     """Static contact-candidate count for a geom pair."""
     if geom_a.gtype == GEOM_BOX and geom_b.gtype == GEOM_BOX:
-        return 16
+        return 17
+    if geom_a.gtype in _CAPSULE_LIKE and geom_b.gtype in _CAPSULE_LIKE:
+        return 2
     return 1
 
 
@@ -292,7 +467,15 @@ def _closest_point_on_segment(a, b, p):
 
 
 def _closest_segment_points(a0, a1, b0, b1):
-    """Closest points between two segments (standard clamped solve)."""
+    """Closest points between two segments (standard clamped solve).
+
+    Near-parallel segments get special handling: the generic solve's
+    ``s=0`` fallback pairs an ENDPOINT of A with B's interior, which for two
+    parallel capsules (e.g. gripper fingertip pads along a grasped peg)
+    yields a diagonal contact normal instead of the true lateral one — the
+    pinch then has no closing component and grasps silently fail. Instead,
+    project B onto A's axis and take the midpoint of the overlap interval.
+    """
     d1 = a1 - a0
     d2 = b1 - b0
     r = a0 - b0
@@ -302,10 +485,32 @@ def _closest_segment_points(a0, a1, b0, b1):
     c = jnp.dot(d1, r)
     b = jnp.dot(d1, d2)
     denom = a * e - b * b
-    s = jnp.where(denom > 1e-12, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0)
+    # "parallel" within ~10 deg: denom/(a e) = sin^2(theta); gripper pads on
+    # a grasped shaft sit a few degrees off-axis whenever the arm sags
+    parallel = denom <= 0.03 * jnp.maximum(a * e, 1e-12)
+    s_gen = jnp.where(
+        denom > 1e-12,
+        jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0),
+        0.0,
+    )
+    # parallel: overlap interval of B's endpoints projected on A (param s)
+    p0 = -c / jnp.maximum(a, 1e-12)  # proj of b0
+    p1 = (b - c) / jnp.maximum(a, 1e-12)  # proj of b1
+    lo = jnp.clip(jnp.minimum(p0, p1), 0.0, 1.0)
+    hi = jnp.clip(jnp.maximum(p0, p1), 0.0, 1.0)
+    s_par = 0.5 * (lo + hi)
+    s = jnp.where(parallel, s_par, s_gen)
     t = (b * s + f) / jnp.maximum(e, 1e-12)
     t_cl = jnp.clip(t, 0.0, 1.0)
-    s = jnp.clip(jnp.where(jnp.abs(t - t_cl) > 0, (b * t_cl - c) / jnp.maximum(a, 1e-12), s), 0.0, 1.0)
+    s = jnp.clip(
+        jnp.where(
+            (~parallel) & (jnp.abs(t - t_cl) > 0),
+            (b * t_cl - c) / jnp.maximum(a, 1e-12),
+            s,
+        ),
+        0.0,
+        1.0,
+    )
     return a0 + d1 * s, b0 + d2 * t_cl
 
 
@@ -386,6 +591,8 @@ class CollisionPlan:
             pb, qb = _geom_world_pose(kin, gb)
             if ga.gtype == GEOM_BOX and gb.gtype == GEOM_BOX:
                 hits = box_box_contacts(ga, pa, qa, gb, pb, qb)
+            elif ga.gtype in _CAPSULE_LIKE and gb.gtype in _CAPSULE_LIKE:
+                hits = capsule_capsule_contacts(ga, pa, qa, gb, pb, qb)
             else:
                 hits = [_pair_contact(ga, pa, qa, gb, pb, qb)]
             for point, normal, depth in hits:

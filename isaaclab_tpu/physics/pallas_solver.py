@@ -100,12 +100,19 @@ def _apgd_kernel(ncon, iterations, Jt_ref, MJ_ref, b_ref, diag_ref, act_ref,
         v = act / jnp.maximum(nrm0, 1e-12)
         v = jax.lax.fori_loop(0, 6, power_body, v)
         av = A_mv(v)
+        # active-row diag floor only (see solver.apgd_solve: inactive rows
+        # carry skewed preconditioned diags that would collapse inv_L)
         L = jnp.maximum(
-            jnp.sqrt(jnp.sum(av * av, axis=1, keepdims=True)),
-            jnp.max(diag, axis=1, keepdims=True),
+            jnp.maximum(
+                jnp.sqrt(jnp.sum(av * av, axis=1, keepdims=True)),
+                jnp.max(diag * act, axis=1, keepdims=True),
+            ),
+            1e-8,  # all-inactive envs: keep inv_L finite
         )
     else:
-        L = 2.0 * jnp.max(diag, axis=1, keepdims=True)
+        L = 2.0 * jnp.maximum(
+            jnp.max(diag * act, axis=1, keepdims=True), 1e-8
+        )
     inv_L = 1.0 / (1.1 * L)  # (BE, 1)
 
     def apgd_body(_, carry):

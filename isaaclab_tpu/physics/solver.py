@@ -239,6 +239,23 @@ def limit_rows(model: RobotModel):
     return J
 
 
+def _row_precond_scale(diag, ncon, n_lim):
+    """Per-row preconditioning scales: each contact's [n, t1, t2] rows share
+    ``1/sqrt(diag_n)`` (cone-preserving); limit rows use their own diag.
+    Works batched (leading dims broadcast)."""
+    if ncon:
+        s_n = 1.0 / jnp.sqrt(jnp.clip(diag[..., :ncon], 1e-8, None))
+        s_con = jnp.concatenate([s_n, s_n, s_n], axis=-1)
+    else:
+        s_con = diag[..., :0]
+    if n_lim:
+        s_lim = 1.0 / jnp.sqrt(
+            jnp.clip(diag[..., 3 * ncon :], 1e-8, None)
+        )
+        return jnp.concatenate([s_con, s_lim], axis=-1)
+    return s_con
+
+
 class SolveResult(NamedTuple):
     qd: jnp.ndarray  # corrected generalized velocity (nv,)
     contact_impulse: jnp.ndarray  # (ncon, 3) [n, t1, t2] impulses
@@ -314,8 +331,18 @@ def solve_constraints(
         q_lim = q_arts[li]
         viol_lo = jnp.maximum(lo - q_lim, 0.0)
         viol_hi = jnp.maximum(q_lim - hi, 0.0)
+        gap_lo = jnp.maximum(q_lim - lo, 0.0)
+        gap_hi = jnp.maximum(hi - q_lim, 0.0)
+        # inside the limit: ALLOW approach at up to gap/dt (the joint may
+        # reach — but not pass — the limit this step); a zero bias here
+        # would clamp all motion toward the limit the moment the activation
+        # window opens (gripper fingers closing near q=0 froze mid-grasp).
+        # Violated: Baumgarte push-out as before.
         bias_l = jnp.concatenate(
-            [-cfg.limit_baumgarte / dt * viol_lo, -cfg.limit_baumgarte / dt * viol_hi]
+            [
+                gap_lo / dt - cfg.limit_baumgarte / dt * viol_lo,
+                gap_hi / dt - cfg.limit_baumgarte / dt * viol_hi,
+            ]
         )
         lim_active = jnp.concatenate(
             [(q_lim - lo) < 0.05, (hi - q_lim) < 0.05]
@@ -340,6 +367,20 @@ def solve_constraints(
     )
     lam0 = jnp.where(row_active, lam0, 0.0)
 
+    # Per-contact diagonal preconditioning: without it APGD's single global
+    # step size (1/L) is set by the heaviest rows, so contacts on light
+    # bodies (gripper finger vs 60 g peg: effective mass ~100x below a
+    # trunk-ground contact) build almost no impulse in a fixed iteration
+    # budget and grips slip at ~1/10 the commanded force. Scaling each
+    # contact's [n, t1, t2] rows by the SAME 1/sqrt(diag_n) preserves the
+    # friction cone exactly while equalizing convergence across mass scales.
+    scale = _row_precond_scale(diag, ncon, n_lim)
+    J_t_s = J_t * scale[None, :]
+    MinvJT_s = MinvJT * scale[None, :]
+    b_s = b * scale
+    diag_s = diag * scale * scale
+    lam0_s = lam0 / scale
+
     # dispatch: pure-XLA APGD when called unbatched; under the engine's env
     # vmap the custom_vmap rule routes the whole batch to the Pallas kernel
     # (pallas_solver.py) with the Jacobian resident in VMEM
@@ -353,8 +394,9 @@ def solve_constraints(
         ),
     )
     mu_arg = mu if ncon else jnp.zeros((0,), J_t.dtype)
-    lam = dispatch(
-        J_t, MinvJT, b, diag, row_active.astype(J_t.dtype), mu_arg, lam0
+    lam = scale * dispatch(
+        J_t_s, MinvJT_s, b_s, diag_s, row_active.astype(J_t.dtype), mu_arg,
+        lam0_s,
     )
 
     qd = v_free + MinvJT @ lam
@@ -450,8 +492,13 @@ def solve_constraints_batch(
         q_lim = q_arts[:, li]
         viol_lo = jnp.maximum(lo - q_lim, 0.0)
         viol_hi = jnp.maximum(q_lim - hi, 0.0)
+        gap_lo = jnp.maximum(q_lim - lo, 0.0)
+        gap_hi = jnp.maximum(hi - q_lim, 0.0)
+        # allow approach at up to gap/dt inside the limit (see
+        # solve_constraints); Baumgarte push-out only when violated
         b = b.at[:, 3 * ncon:].add(
-            -cfg.limit_baumgarte / dt
+            jnp.concatenate([gap_lo, gap_hi], axis=1) / dt
+            - cfg.limit_baumgarte / dt
             * jnp.concatenate([viol_lo, viol_hi], axis=1)
         )
         lim_active = jnp.concatenate(
@@ -476,6 +523,15 @@ def solve_constraints_batch(
     )
     lam0 = jnp.where(row_active, lam0, 0.0)
 
+    # per-contact diagonal preconditioning (see solve_constraints): equalizes
+    # convergence across light/heavy body pairs while preserving the cone
+    scale = _row_precond_scale(diag, ncon, n_lim)  # (E, nrows)
+    J_t_s = J_t * scale[:, None, :]
+    MinvJT_s = MinvJT * scale[:, None, :]
+    b_s = b * scale
+    diag_s = diag * scale * scale
+    lam0_s = lam0 / scale
+
     from .pallas_solver import make_apgd_dispatch
 
     dispatch = make_apgd_dispatch(
@@ -485,8 +541,9 @@ def solve_constraints_batch(
             n_lim, cfg.iterations,
         ),
     )
-    lam = jax.vmap(dispatch)(
-        J_t, MinvJT, b, diag, row_active.astype(J_t.dtype), mu, lam0
+    lam = scale * jax.vmap(dispatch)(
+        J_t_s, MinvJT_s, b_s, diag_s, row_active.astype(J_t.dtype), mu,
+        lam0_s,
     )
 
     qd = v_free + jnp.einsum("evr,er->ev", MinvJT, lam)
@@ -546,11 +603,21 @@ def apgd_solve(J_t, MinvJT, b, diag, row_active, mu, lam0, ncon, n_lim,
 
         v0 = active_f / jnp.maximum(jnp.linalg.norm(active_f), 1e-12)
         v = jax.lax.fori_loop(0, 6, power_body, v0)
-        L = jnp.maximum(jnp.linalg.norm(A_mv(v)), jnp.max(diag))
+        # step-size floor over ACTIVE rows only: inactive rows can carry
+        # arbitrarily skewed diag values (per-contact preconditioning scales
+        # tangent rows by the NORMAL row's diag; a masked row's ratio can be
+        # ~1e6), and folding them into L once collapsed inv_L to ~1e-6 and
+        # silently zeroed every grasp impulse
+        # 1e-8 floor: with NO active rows both terms are zero and inv_L
+        # would be inf (NaN through the masked updates)
+        L = jnp.maximum(
+            jnp.maximum(jnp.linalg.norm(A_mv(v)), jnp.max(diag * active_f)),
+            1e-8,
+        )
     else:
         # limit-only: rows couple weakly (lo/hi pairs share a dof) — 2x the
         # diagonal bounds the spectral norm
-        L = 2.0 * jnp.max(diag)
+        L = 2.0 * jnp.maximum(jnp.max(diag * active_f), 1e-8)
     inv_L = 1.0 / (1.1 * L)
 
     def apgd_body(_, carry):

@@ -57,6 +57,12 @@ class InteractiveSceneCfg:
     replicate_physics: bool = True  # parity only; batching always replicates
     filter_collisions: bool = True  # parity only; envs never interact
     lazy_sensor_update: bool = True
+    # inter-entity collision-pair EXCLUSIONS (replaces PhysX collision
+    # filtering/groups the reference sets via USD, e.g. held-asset vs robot
+    # arm in factory): entries are (entity_a, geom_regex_a, entity_b,
+    # geom_regex_b); a candidate pair matching an entry in either order is
+    # dropped from the collision plan.
+    collision_filters: list = []
 
 
 class SceneState(NamedTuple):
@@ -66,6 +72,10 @@ class SceneState(NamedTuple):
     body_params: eng.BodyParams  # batched randomizable physical params
     entities: dict  # name -> entity state pytree (articulations, objects)
     sensors: dict  # name -> sensor state pytree
+    # (E, 3) per-env terrain-cell offsets — DYNAMIC state so the terrain
+    # curriculum can move envs between difficulty rows (reference
+    # terrain_importer env-origin updates); None = static importer offsets
+    terrain_offsets: object = None
 
 
 class InteractiveScene:
@@ -162,6 +172,25 @@ class InteractiveScene:
         # all geom pairs between DIFFERENT entities; self-collision off,
         # matching the reference default. Box-box pairs use the 16-candidate
         # corner narrowphase in physics/collision.py.)
+        import re as _re
+
+        filters = [
+            (ea, _re.compile(ra), eb, _re.compile(rb))
+            for ea, ra, eb, rb in getattr(cfg, "collision_filters", [])
+        ]
+
+        def _filtered(ni, ga, nj, gb):
+            for ea, ra, eb, rb in filters:
+                if (
+                    ea == ni and ra.search(ga.name or "")
+                    and eb == nj and rb.search(gb.name or "")
+                ) or (
+                    ea == nj and ra.search(gb.name or "")
+                    and eb == ni and rb.search(ga.name or "")
+                ):
+                    return True
+            return False
+
         pairs = []
         for i, ni in enumerate(names):
             for nj in names[i + 1 :]:
@@ -174,7 +203,8 @@ class InteractiveScene:
                 ]
                 for ga in geoms_i:
                     for gb in geoms_j:
-                        pairs.append((ga, gb))
+                        if not _filtered(ni, ga, nj, gb):
+                            pairs.append((ga, gb))
         self.collision_plan = CollisionPlan(
             self.world_model,
             pairs=pairs,
@@ -261,7 +291,10 @@ class InteractiveScene:
             entities[name] = soft.init_entity_state(E, origins)
 
         state = SceneState(
-            phys=phys, body_params=params, entities=entities, sensors={}
+            phys=phys, body_params=params, entities=entities, sensors={},
+            terrain_offsets=jnp.asarray(
+                self.terrain_offsets(), dtype=jnp.float32
+            ),
         )
         # write default root/joint states into q/qd
         state = self.reset_state(state, env_mask=None)
@@ -371,7 +404,11 @@ class InteractiveScene:
             solver=self.sim_cfg.solver_cfg(),
         )
         terrain = self.height_field
-        offsets = self.terrain_offsets()
+        offsets = (
+            state.terrain_offsets
+            if state.terrain_offsets is not None
+            else self.terrain_offsets()
+        )
 
         if wm.nbody > 0:
             if eng.use_fused_path():
@@ -403,6 +440,26 @@ class InteractiveScene:
         for name, soft in self.deformable_objects.items():
             new_entities[name] = soft.step(new_entities[name], dt)
         return state._replace(phys=new_phys, entities=new_entities)
+
+
+    def apply_terrain_levels(self, state: SceneState, levels, mask):
+        """Move masked envs to the terrain cell for their curriculum level
+        (reference terrain_importer.update_env_origins): offsets come from
+        the generator's static (rows, cols, 3) cell-origin table."""
+        t = self.terrain
+        if t is None or getattr(t, "_cell_origins", None) is None:
+            return state
+        table = jnp.asarray(t._cell_origins, dtype=jnp.float32)  # (R, C, 3)
+        types = jnp.asarray(t.terrain_types)
+        lvl = jnp.clip(levels.astype(jnp.int32), 0, table.shape[0] - 1)
+        new_off = table[lvl, types]
+        cur = (
+            state.terrain_offsets
+            if state.terrain_offsets is not None
+            else jnp.asarray(self.terrain_offsets(), dtype=jnp.float32)
+        )
+        out = jnp.where(mask[:, None], new_off, cur)
+        return state._replace(terrain_offsets=out)
 
     # ------------------------------------------------------------------
     def kinematics(self, state: SceneState):

@@ -80,6 +80,13 @@ class RayCaster(SensorBase):
         # host numpy: device constants captured in jit force a trace-time D2H
         self._ray_starts = np.asarray(starts, dtype=np.float32)
         self._ray_dirs = np.asarray(dirs, dtype=np.float32)
+        # static: every pattern ray points straight down AND the sensor only
+        # yaws (yaw preserves ray z) -> the heightfield cast can skip the
+        # gather-bound oblique march (raycast_height_field assume_vertical)
+        self._all_vertical = bool(
+            cfg.attach_yaw_only
+            and np.all(np.abs(self._ray_dirs[:, 2]) > 0.999)
+        )
         self._world_body = self.body_id + self.entity.slice.body_start
         # static geom list for analytic dynamic-geometry intersection
         self._tracked_geoms = []
@@ -128,10 +135,15 @@ class RayCaster(SensorBase):
         )
         dirs = math_utils.quat_apply(quat_w[:, None, :], self._ray_dirs[None])
         terrain = self._scene.height_field
-        offsets = self._scene.terrain_offsets()
+        offsets = (
+            scene_state.terrain_offsets
+            if getattr(scene_state, "terrain_offsets", None) is not None
+            else self._scene.terrain_offsets()
+        )
         hits = jax.vmap(
             lambda s, d, off: raycast_height_field(
-                s, d, terrain, off, self.cfg.max_distance
+                s, d, terrain, off, self.cfg.max_distance,
+                assume_vertical=self._all_vertical,
             )
         )(starts, dirs, offsets)
         dist = jnp.linalg.norm(hits - pos_w[:, None, :], axis=-1)
@@ -178,12 +190,18 @@ RayCasterCfg.class_type = RayCaster
 
 
 def raycast_height_field(starts, dirs, terrain, terrain_offset, max_distance,
-                         num_steps: int = 48):
+                         num_steps: int = 48, assume_vertical: bool = False):
     """Cast (N, 3) rays against the terrain height field for one env.
 
     Vertical rays resolve with a single bilinear lookup; oblique rays
     fixed-step march with one refinement bisection pass. Flat ground (terrain
     None) is the analytic plane z=0.
+
+    ``assume_vertical`` (static): skip the march entirely — the caller has
+    proven every ray points straight down (height-scanner grids under
+    ``attach_yaw_only``). The march is gather-bound (num_steps bilinear
+    fetches per ray) and dominated rough-locomotion stepping ~100x before
+    this short-circuit.
     """
     if terrain is None:
         # plane z = 0: t = -z / dz
@@ -200,6 +218,8 @@ def raycast_height_field(starts, dirs, terrain, terrain_offset, max_distance,
     h = height_at(starts)
     t_vert = jnp.clip((starts[..., 2] - h) / jnp.maximum(-dirs[..., 2], 1e-6),
                       0.0, max_distance)
+    if assume_vertical:
+        return starts + dirs * t_vert[..., None]
 
     # fixed-step DDA march: find first sample below terrain
     ts = jnp.linspace(0.0, max_distance, num_steps)

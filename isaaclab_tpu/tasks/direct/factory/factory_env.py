@@ -2,15 +2,21 @@
 ``direct/factory/factory_env.py`` + ``factory_env_cfg.py``: PegInsert,
 GearMesh, NutThread variants).
 
-TPU recast: the held asset (peg) is welded to the panda hand (the reference
-keeps it grasped by friction inside PhysX); insertion progress is measured by
-the reference's keypoint metric — uniformly spaced keypoints along the held
-and fixed assets' axes whose pairwise distances shrink to zero at full
-insertion (factory_env.py:127-156, 236+). The action is a 6d task-space
-delta-pose tracked by joint-space PD through differential IK, matching the
-reference's task-space impedance at the level the policy sees. The fixed
-asset's receptacle is a raised ring of boxes (a height-field-free socket the
-convex narrowphase can handle); non-convex hole walls are out of scope.
+TPU recast (round 3): the held peg is a FREE rigid body grasped by friction
+between the Franka fingertip capsules — matching the reference, which keeps
+the held asset grasped inside PhysX (factory_env.py:127-156) rather than
+welded. The gripper squeezes with the implicit finger drive (closed target);
+the peg rides the friction cone through the contact solver. Insertion
+progress uses the reference's keypoint metric — uniformly spaced keypoints
+along the held and fixed assets' axes whose pairwise distances shrink to
+zero at full insertion (factory_env.py:236+). The action is a 6d task-space
+delta-pose of the hand tracked through differential IK.
+
+Documented divergences from the reference: the socket is a 4-box ring with
+~2 mm radial clearance (the reference uses SDF collision on non-convex
+meshes at ~0.1 mm clearance, beyond the primitive narrowphase here), and
+the GearMesh/NutThread variants still weld their held asset to the hand
+(``FactoryTaskCfg.weld_held_asset``) pending the same free-body treatment.
 """
 
 from __future__ import annotations
@@ -19,114 +25,128 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ....assets import ArticulationCfg, ArticulationInitStateCfg
+from ....assets import (
+    ArticulationCfg,
+    ArticulationInitStateCfg,
+    RigidObjectCfg,
+    RigidObjectInitStateCfg,
+)
+from ....assets_presets.franka import FRANKA_PANDA_CFG
 from ....controllers import DifferentialIKController, DifferentialIKControllerCfg
 from ....envs.direct_rl_env import DirectRLEnv, DirectRLEnvCfg
 from ....physics.model import (
     GEOM_BOX,
     GEOM_CAPSULE,
     JOINT_FIXED,
-    JOINT_REVOLUTE,
+    JOINT_FREE,
     ModelBuilder,
 )
 from ....scene import InteractiveSceneCfg
 from ....utils import math as math_utils
 from ....utils.configclass import configclass
 
+# peg grasped 2 cm from its trailing end; fingertip TCP sits 0.0934 above the
+# hand origin (finger joint at +0.0584, fingertip capsule center at +0.035).
+# At grasp the peg's +z points OPPOSITE the hand's +z (insertion tip away
+# from the palm, trailing end 1.3 cm clear of the hand box) and matches the
+# socket frame's +z when inserted, so the shared-offset keypoint metric
+# converges to zero.
+PEG_RADIUS = 0.008
+PEG_HALF_LEN = 0.05
+GRASP_FROM_TOP = 0.02  # grasp point below the peg's trailing (+z) end
+TCP_OFFSET_Z = 0.0934  # hand local z of the fingertip grasp point
+FINGER_CLOSED = 0.0085  # finger q with 0.5 mm squeeze into the peg surface
+# grip drive target: ~3.5 mm beyond the contact surface, NOT fully closed —
+# at statics the contact normal force equals the finger drive force
+# kp*(q - target), so the squeeze offset directly sets the grip:
+# 2000 * 3.5mm = 7 N per finger, ~20 N tangential capacity at the 1.4
+# combined friction — robust against the 0.6 N peg weight and insertion
+# side-loads. A full-close target (0) is NOT used: any transient solver
+# under-convergence lets the fingers sink until kp*q collapses, and the
+# deep two-sided penetration then ejects the peg.
+FINGER_GRIP_TARGET = FINGER_CLOSED - 0.0035
 
-def build_franka_with_peg():
-    """Franka arm with a 5cm peg welded below the hand (gripper removed —
-    the reference's grasped-peg configuration, factory task held_asset)."""
-    from ....assets_presets.franka import build_franka_model
 
-    # rebuild franka but append the peg body to the hand
-    b = ModelBuilder("franka_peg")
-    limits = [
-        (-2.8973, 2.8973), (-1.7628, 1.7628), (-2.8973, 2.8973),
-        (-3.0718, -0.0698), (-2.8973, 2.8973), (-0.0175, 3.7525),
-        (-2.8973, 2.8973),
-    ]
-    dh = [
-        ((0, 0, 0.333), (0, 0, 1)),
-        ((0, 0, 0), (0, 1, 0)),
-        ((0, 0, 0.316), (0, 0, 1)),
-        ((0.0825, 0, 0), (0, -1, 0)),
-        ((-0.0825, 0, 0.384), (0, 0, 1)),
-        ((0, 0, 0), (0, -1, 0)),
-        ((0.088, 0, 0), (0, 0, -1)),
-    ]
-    masses = [4.97, 0.65, 3.23, 3.59, 1.22, 1.67, 0.74]
-    parent = -1
-    for i in range(7):
-        pos, axis = dh[i]
-        parent = b.add_body(
-            f"panda_link{i + 1}", parent, JOINT_REVOLUTE, jnt_axis=axis,
-            jnt_pos=pos, mass=masses[i], inertia=np.eye(3) * 0.01,
-            jnt_name=f"panda_joint{i + 1}", limits=limits[i],
-            effort_limit=87.0 if i < 4 else 12.0, velocity_limit=2.175,
-        )
-        b.add_geom(parent, GEOM_CAPSULE, (0.06, 0.08))
-    hand = b.add_body(
-        "panda_hand", parent, JOINT_FIXED, jnt_pos=(0, 0, 0.107),
-        mass=0.73, inertia=np.eye(3) * 0.003,
+def build_peg_model():
+    """Free-body peg (reference held_asset cylinder, 8 mm diameter)."""
+    b = ModelBuilder("held_asset")
+    m = 0.06
+    body = b.add_body(
+        "held_asset", -1, JOINT_FREE, mass=m,
+        inertia=np.diag([
+            m * (3 * PEG_RADIUS**2 + 4 * PEG_HALF_LEN**2) / 12.0,
+            m * (3 * PEG_RADIUS**2 + 4 * PEG_HALF_LEN**2) / 12.0,
+            m * PEG_RADIUS**2 / 2.0,
+        ]),
     )
-    b.add_geom(hand, GEOM_BOX, (0.03, 0.1, 0.03), pos=(0, 0, 0.03))
-    peg = b.add_body(
-        "held_asset", hand, JOINT_FIXED, jnt_pos=(0, 0, 0.09),
-        mass=0.05, com=(0, 0, 0.025), inertia=np.eye(3) * 1e-5,
-    )
-    b.add_geom(peg, GEOM_CAPSULE, (0.008, 0.025), pos=(0, 0, 0.025),
-               friction=0.8, name="peg")
+    b.add_geom(body, GEOM_CAPSULE, (PEG_RADIUS, PEG_HALF_LEN), friction=0.8,
+               name="peg")
     return b.build()
 
 
 def build_socket_model():
-    """Fixed asset: base plate with a 4-box ring forming the receptacle."""
+    """Fixed asset: base plate with a 4-box ring receptacle (~4.5 mm radial
+    clearance around the 8 mm peg; the reference uses SDF meshes at ~0.1 mm
+    clearance, beyond this primitive narrowphase + velocity-IK stack)."""
     b = ModelBuilder("fixed_asset")
     base = b.add_body("fixed_asset", -1, JOINT_FIXED, mass=1.0,
                       inertia=np.eye(3) * 0.01)
     b.add_geom(base, GEOM_BOX, (0.04, 0.04, 0.01), pos=(0, 0, 0.01))
-    w, hole = 0.012, 0.011
+    w, hole = 0.012, 0.0125
     for dx, dy, sx, sy in (
         (hole + w, 0, w, 2 * hole), (-(hole + w), 0, w, 2 * hole),
-        (0, hole + w, 2 * hole, w), (0, -(hole + w), 2 * hole, w),
+        (0, hole + w, 2 * hole, w), (0, -hole - w, 2 * hole, w),
     ):
         b.add_geom(base, GEOM_BOX, (sx, sy, 0.015), pos=(dx, dy, 0.035),
                    friction=0.6)
     return b.build()
 
 
-@configclass
-class FactorySceneCfg(InteractiveSceneCfg):
-    robot = ArticulationCfg(
-        model=build_franka_with_peg,
+def _high_pd_franka():
+    """Reference FRANKA_PANDA_HIGH_PD_CFG (stiffness 400, damping 80): the
+    task-space-controlled factory arm. The standard 80/4 gains sag ~0.2 rad
+    under gravity, and the relative-mode IK target then chases the sag
+    downward every step — the whole gripper drifts and grasps shear apart."""
+    cfg = FRANKA_PANDA_CFG.replace(
         init_state=ArticulationInitStateCfg(
             joint_pos={
                 "panda_joint1": 0.0, "panda_joint2": -0.3, "panda_joint3": 0.0,
                 "panda_joint4": -2.4, "panda_joint5": 0.0,
                 "panda_joint6": 2.3, "panda_joint7": 0.78,
+                "panda_finger_joint.*": FINGER_CLOSED,
             },
         ),
-        actuators={},
     )
+    acts = dict(cfg.actuators)
+    for grp in ("panda_shoulder", "panda_forearm"):
+        acts[grp] = acts[grp].replace(stiffness=400.0, damping=80.0)
+    return cfg.replace(actuators=acts)
+
+
+@configclass
+class FactorySceneCfg(InteractiveSceneCfg):
+    robot = _high_pd_franka()
+    held_asset = RigidObjectCfg(
+        model=build_peg_model,
+        init_state=RigidObjectInitStateCfg(pos=(0.45, 0.0, 0.35)),
+    )
+    # socket within the comfortable dexterous envelope: the reference mounts
+    # robot and socket on a shared table; with a floor-level socket, 0.55 m
+    # put the hand-down pose near the Franka's reach boundary and the IK
+    # tracked xy with ~80 mm of persistent error
     fixed_asset = ArticulationCfg(
         model=build_socket_model,
-        init_state=ArticulationInitStateCfg(pos=(0.55, 0.0, 0.0)),
+        init_state=ArticulationInitStateCfg(pos=(0.45, 0.0, 0.0)),
         actuators={},
     )
-
-    def __post_init__(self):
-        from ....actuators import ImplicitActuatorCfg
-
-        self.robot.actuators = {
-            "arm": ImplicitActuatorCfg(
-                joint_names_expr=["panda_joint.*"],
-                stiffness=400.0,
-                damping=80.0,
-                effort_limit=87.0,
-                velocity_limit=2.175,
-            )
-        }
+    # PhysX-filter equivalent: the held peg collides ONLY with the fingertip
+    # pads (reference disables held-asset vs arm collisions); the arm/palm
+    # never reaches the socket, so only fingertips+peg interact with it.
+    # Also drops ~150 phantom candidate rows from the plan.
+    collision_filters = [
+        ("robot", "^(?!.*fingertip).*$", "held_asset", ".*"),
+        ("robot", "^(?!.*fingertip).*$", "fixed_asset", ".*"),
+    ]
 
 
 @configclass
@@ -141,6 +161,12 @@ class FactoryTaskCfg:
     keypoint_coef_fine: tuple = (100.0, 0.0)
     success_threshold: float = 0.04
     action_bounds: tuple = (0.05, 0.05, 0.05, 0.1, 0.1, 0.1)
+    # full insertion: peg bottom tip at the plate top (peg center 0.078
+    # above the socket origin: 0.02 plate + 0.05 half-length + 0.008 tip)
+    hole_offset: tuple = (0.0, 0.0, 0.078)
+    # GearMesh/NutThread still weld the held asset to the hand; PegInsert
+    # grasps the free peg by fingertip friction
+    weld_held_asset: bool = False
 
 
 @configclass
@@ -154,6 +180,10 @@ class FactoryEnvCfg(DirectRLEnvCfg):
 
     def __post_init__(self):
         self.sim.dt = 1 / 120.0
+        # high-precision contact-rich manipulation: more solver iterations
+        # than the locomotion default (reference factory raises PhysX
+        # iteration counts too, factory_env_cfg.py sim settings)
+        self.sim.physx.solver_iteration_count = 32
 
 
 class FactoryEnv(DirectRLEnv):
@@ -163,9 +193,19 @@ class FactoryEnv(DirectRLEnv):
         super().__init__(cfg, **kwargs)
         self._robot = self.scene.articulations["robot"]
         self._fixed = self.scene.articulations["fixed_asset"]
-        ids, _ = self._robot.find_bodies("held_asset")
-        self._held_body = int(ids[0])
-        self._fixed_body = self._fixed.root_body_index - 0  # local 0
+        self._welded = bool(cfg.task.weld_held_asset)
+        if self._welded:
+            ids, _ = self._robot.find_bodies("held_asset")
+            self._held_body = int(ids[0])
+            self._ee_body = self._held_body
+        else:
+            self._held = self.scene.rigid_objects["held_asset"]
+            ids, _ = self._robot.find_bodies("panda_hand")
+            self._ee_body = int(ids[0])
+            arm_ids, _ = self._robot.find_joints("panda_joint.*")
+            self._arm_joint_ids = np.asarray(arm_ids, dtype=np.int32)
+            fin_ids, _ = self._robot.find_joints("panda_finger_joint.*")
+            self._finger_joint_ids = np.asarray(fin_ids, dtype=np.int32)
         self._ik = DifferentialIKController(
             DifferentialIKControllerCfg(
                 command_type="pose", use_relative_mode=True, ik_method="dls"
@@ -179,18 +219,36 @@ class FactoryEnv(DirectRLEnv):
             [np.zeros(n), np.zeros(n), (np.linspace(0, 1, n) - 0.5) * ks],
             axis=-1,
         ).astype(np.float32)
-        # hole target frame: 2.5cm above the plate center (full insertion
-        # puts the peg mid-line here)
-        self._hole_offset = np.array([0.0, 0.0, 0.025], dtype=np.float32)
+        self._hole_offset = np.asarray(cfg.task.hole_offset, dtype=np.float32)
+        if self._welded:
+            # welded variants keep the legacy 2.5 cm ring-center target
+            self._hole_offset = np.array([0.0, 0.0, 0.025], dtype=np.float32)
 
     def _views(self, state):
         views, _ = self.scene.data_views(state.scene, self.physics_dt)
-        return views["robot"], views["fixed_asset"]
+        return views, views["robot"], views["fixed_asset"]
+
+    def _held_pose_vel(self, state):
+        """(pos, quat, lin_vel, ang_vel) of the held asset."""
+        views, robot, _ = self._views(state)
+        if self._welded:
+            return (
+                robot.body_pos_w[:, self._held_body],
+                robot.body_quat_w[:, self._held_body],
+                robot.body_lin_vel_w[:, self._held_body],
+                robot.body_ang_vel_w[:, self._held_body],
+            )
+        held = views["held_asset"]
+        return (
+            held.root_pos_w,
+            held.root_quat_w,
+            held.root_lin_vel_w,
+            held.root_ang_vel_w,
+        )
 
     def _keypoints(self, state):
-        robot, fixed = self._views(state)
-        held_pos = robot.body_pos_w[:, self._held_body]
-        held_quat = robot.body_quat_w[:, self._held_body]
+        _, _, fixed = self._views(state)
+        held_pos, held_quat, _, _ = self._held_pose_vel(state)
         fixed_pos = fixed.root_pos_w + self._hole_offset[None]
         fixed_quat = fixed.root_quat_w
         off = jnp.asarray(self._kp_offsets)  # (K, 3)
@@ -209,22 +267,30 @@ class FactoryEnv(DirectRLEnv):
     def _pre_physics_step(self, state, actions):
         bounds = jnp.asarray(self.cfg.task.action_bounds)
         delta = jnp.clip(actions, -1.0, 1.0) * bounds
-        robot, _ = self._views(state)
-        ee_pos = robot.body_pos_w[:, self._held_body]
-        ee_quat = robot.body_quat_w[:, self._held_body]
-        # jacobian of the held asset w.r.t. the arm joints
+        _, robot, _ = self._views(state)
+        ee_pos = robot.body_pos_w[:, self._ee_body]
+        ee_quat = robot.body_quat_w[:, self._ee_body]
+        # jacobian of the end-effector body w.r.t. the arm joints
         from ....physics.kinematics import body_jacobian
 
         kin = self.scene.kinematics(state.scene)
-        world_b = self._robot.slice.body_start + self._held_body
+        world_b = self._robot.slice.body_start + self._ee_body
         J = jax.vmap(
             lambda k: body_jacobian(self.scene.world_model, k, world_b)
         )(kin)
         cols = self._robot.joint_v_indices()
+        if not self._welded:
+            cols = cols[self._arm_joint_ids]
         J = J[:, :, cols]
         J = jnp.concatenate([J[:, 3:6], J[:, 0:3]], axis=1)  # [lin; ang]
-        jp = self._robot.joint_pos_from_world(state.scene.phys.q)
+        jp_all = self._robot.joint_pos_from_world(state.scene.phys.q)
+        jp = jp_all if self._welded else jp_all[:, self._arm_joint_ids]
         target = self._ik.compute(delta, ee_pos, ee_quat, J, jp)
+        if not self._welded:
+            # full target vector: IK arm targets + fingers at the grip squeeze
+            full = jnp.full_like(jp_all, FINGER_GRIP_TARGET)
+            full = full.at[:, self._arm_joint_ids].set(target)
+            target = full
         est = state.scene.entities["robot"]
         est = self._robot.set_joint_position_target(est, target)
         ents = dict(state.scene.entities)
@@ -234,11 +300,8 @@ class FactoryEnv(DirectRLEnv):
         )
 
     def _get_observations(self, state):
-        robot, fixed = self._views(state)
-        held_pos = robot.body_pos_w[:, self._held_body]
-        held_quat = robot.body_quat_w[:, self._held_body]
-        held_lin = robot.body_lin_vel_w[:, self._held_body]
-        held_ang = robot.body_ang_vel_w[:, self._held_body]
+        _, _, fixed = self._views(state)
+        held_pos, held_quat, held_lin, held_ang = self._held_pose_vel(state)
         rel = held_pos - (fixed.root_pos_w + self._hole_offset[None])
         obs = jnp.concatenate(
             [rel, held_quat, held_lin, held_ang, rel * 10.0, state.actions[:, :4]],
@@ -280,16 +343,54 @@ class FactoryEnv(DirectRLEnv):
         est = state.scene.entities["robot"]
         noise = jax.random.uniform(k1, (E, n), minval=-0.05, maxval=0.05)
         jp = est.default_joint_pos + noise
+        if not self._welded:
+            # fingers: exactly at the closed-on-peg position, no noise
+            jp = jp.at[:, self._finger_joint_ids].set(FINGER_CLOSED)
         q, qd = self._robot.write_joint_state_to_sim(
             state.scene.phys.q, state.scene.phys.qd, jp, jnp.zeros_like(jp),
             mask,
         )
-        est = self._robot.set_joint_position_target(est, jp)
+        target = jp
+        if not self._welded:
+            target = target.at[:, self._finger_joint_ids].set(
+                FINGER_GRIP_TARGET
+            )
+        est = self._robot.set_joint_position_target(est, target)
         ents = dict(state.scene.entities)
         ents["robot"] = est
-        return state._replace(
+        state = state._replace(
             scene=state.scene._replace(
                 phys=state.scene.phys._replace(q=q, qd=qd), entities=ents
             ),
             key=key,
+        )
+        if self._welded:
+            return state
+        # place the free peg in the grasp: grasp point (2 cm below the peg's
+        # trailing end) at the fingertip TCP, peg z OPPOSITE the hand z so
+        # the insertion tip points into the workspace (reference factory
+        # resets with the held asset in the gripper, factory_env.py:127-156)
+        kin = self.scene.kinematics(state.scene)
+        hb = self._robot.slice.body_start + self._ee_body
+        hand_pos = kin.body_pos_w[:, hb]
+        hand_quat = kin.body_quat_w[:, hb]
+        local = jnp.array(
+            [0.0, 0.0, TCP_OFFSET_Z + PEG_HALF_LEN - GRASP_FROM_TOP]
+        )
+        peg_pos = hand_pos + math_utils.quat_apply(
+            hand_quat, jnp.broadcast_to(local, (E, 3))
+        )
+        flip_x = jnp.array([0.0, 1.0, 0.0, 0.0])  # 180 deg about x (wxyz)
+        peg_quat = math_utils.quat_mul(
+            hand_quat, jnp.broadcast_to(flip_x, (E, 4))
+        )
+        pose = jnp.concatenate([peg_pos, peg_quat], axis=-1)
+        q2 = self._held.write_root_pose_to_sim(state.scene.phys.q, pose, mask)
+        qd2 = self._held.write_root_velocity_to_sim(
+            q2, state.scene.phys.qd, jnp.zeros((E, 6)), mask
+        )
+        return state._replace(
+            scene=state.scene._replace(
+                phys=state.scene.phys._replace(q=q2, qd=qd2)
+            )
         )

@@ -27,6 +27,35 @@ from ....scene import InteractiveSceneCfg
 from ....utils.configclass import configclass
 from .factory_env import FactoryEnvCfg, FactorySceneCfg, FactoryTaskCfg
 
+_WELDED_INIT = ArticulationInitStateCfg(
+    joint_pos={
+        "panda_joint1": 0.0, "panda_joint2": -0.3, "panda_joint3": 0.0,
+        "panda_joint4": -2.4, "panda_joint5": 0.0,
+        "panda_joint6": 2.3, "panda_joint7": 0.78,
+    },
+)
+
+
+def _welded_robot_cfg(model_fn):
+    """Arm-only Franka with the held asset welded to the hand (legacy factory
+    configuration used by GearMesh/NutThread until they get the free-body
+    grasp treatment PegInsert has)."""
+    from ....actuators import ImplicitActuatorCfg
+
+    return ArticulationCfg(
+        model=model_fn,
+        init_state=_WELDED_INIT,
+        actuators={
+            "arm": ImplicitActuatorCfg(
+                joint_names_expr=["panda_joint.*"],
+                stiffness=400.0,
+                damping=80.0,
+                effort_limit=87.0,
+                velocity_limit=2.175,
+            )
+        },
+    )
+
 _FRANKA_LIMITS = [
     (-2.8973, 2.8973), (-1.7628, 1.7628), (-2.8973, 2.8973),
     (-3.0718, -0.0698), (-2.8973, 2.8973), (-0.0175, 3.7525),
@@ -119,8 +148,8 @@ def build_gear_base():
 @configclass
 class GearMeshSceneCfg(FactorySceneCfg):
     def __post_init__(self):
-        super().__post_init__()
-        self.robot = self.robot.replace(model=build_franka_with_gear)
+        self.robot = _welded_robot_cfg(build_franka_with_gear)
+        self.held_asset = None  # welded: no free-body held asset
         self.fixed_asset = ArticulationCfg(
             model=build_gear_base,
             init_state=ArticulationInitStateCfg(pos=(0.55, 0.0, 0.0)),
@@ -133,6 +162,7 @@ class GearMeshTaskCfg(FactoryTaskCfg):
     """Reference GearMesh (factory_tasks_cfg.py:205)."""
 
     name: str = "gear_mesh"
+    weld_held_asset: bool = True
     keypoint_coef_baseline: tuple = (5.0, 4.0)
     keypoint_coef_coarse: tuple = (50.0, 2.0)
     keypoint_coef_fine: tuple = (100.0, 0.0)
@@ -182,8 +212,8 @@ def build_bolt():
 @configclass
 class NutThreadSceneCfg(FactorySceneCfg):
     def __post_init__(self):
-        super().__post_init__()
-        self.robot = self.robot.replace(model=build_franka_with_nut)
+        self.robot = _welded_robot_cfg(build_franka_with_nut)
+        self.held_asset = None  # welded: no free-body held asset
         self.fixed_asset = ArticulationCfg(
             model=build_bolt,
             init_state=ArticulationInitStateCfg(pos=(0.55, 0.0, 0.0)),
@@ -196,6 +226,7 @@ class NutThreadTaskCfg(FactoryTaskCfg):
     """Reference NutThread (factory_tasks_cfg.py:364)."""
 
     name: str = "nut_thread"
+    weld_held_asset: bool = True
     keypoint_scale: float = 0.05
     keypoint_coef_baseline: tuple = (100.0, 2.0)
     keypoint_coef_coarse: tuple = (500.0, 2.0)

@@ -37,6 +37,18 @@ class TerrainImporterCfg:
     mesh_resolution: float = 0.1
 
 
+def _pack_height_normals(heights, hs):
+    """Host-side (rows, cols, 4) [h, nx, ny, nz] grid: central-difference
+    normals baked at build time so runtime queries need one packed bilinear
+    fetch instead of five scalar samples."""
+    h = np.asarray(heights, dtype=np.float32)
+    gx = np.gradient(h, hs, axis=0)
+    gy = np.gradient(h, hs, axis=1)
+    n = np.stack([-gx, -gy, np.ones_like(h)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    return np.concatenate([h[..., None], n], axis=-1).astype(np.float32)
+
+
 class TerrainImporter:
     def __init__(self, cfg: TerrainImporterCfg, num_envs: int):
         self.cfg = cfg
@@ -62,6 +74,7 @@ class TerrainImporter:
                 heights=np.asarray(hf, dtype=np.float32),
                 horizontal_scale=hs,
                 origin=np.asarray(min_xy, dtype=np.float32),
+                packed=_pack_height_normals(hf, hs),
             )
             center = (min_xy + max_xy) / 2
             self.env_offsets = np.tile(
@@ -91,6 +104,9 @@ class TerrainImporter:
             heights=np.asarray(gen.heights, dtype=np.float32),
             horizontal_scale=float(cfg.terrain_generator.horizontal_scale),
             origin=np.zeros(2, dtype=np.float32),
+            packed=_pack_height_normals(
+                gen.heights, float(cfg.terrain_generator.horizontal_scale)
+            ),
         )
         self._cell_origins = np.asarray(gen.origins, dtype=np.float32)  # (R, C, 3)
         self.max_terrain_level = gen.num_rows
