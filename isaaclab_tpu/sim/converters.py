@@ -163,7 +163,8 @@ def load_urdf(path_or_string: str, floating_base: bool = False,
             )
         link_to_idx[lname] = idx
         for g in ld["geoms"]:
-            b.add_geom(idx, g[0], g[1], pos=g[2], quat=g[3])
+            kw = {"name": g[4]} if len(g) > 4 and g[4] else {}
+            b.add_geom(idx, g[0], g[1], pos=g[2], quat=g[3], **kw)
         for j in joints:
             if j["parent"] == lname:
                 add_link(j["child"], idx, j)
@@ -179,17 +180,20 @@ def _parse_urdf_geom(col_el):
     geom_el = col_el.find("geometry")
     if geom_el is None:
         return None
+    # URDF <collision name="..."> names flow to the geom so regex-based
+    # collision filters / contact sensors can address them
+    gname = col_el.get("name")
     origin = col_el.find("origin")
     pos = _floats(origin.get("xyz"), np.zeros(3)) if origin is not None else np.zeros(3)
     rpy = _floats(origin.get("rpy"), np.zeros(3)) if origin is not None else np.zeros(3)
     quat = _rpy_to_quat(rpy)
     sphere = geom_el.find("sphere")
     if sphere is not None:
-        return (GEOM_SPHERE, (float(sphere.get("radius")),), pos, quat)
+        return (GEOM_SPHERE, (float(sphere.get("radius")),), pos, quat, gname)
     box = geom_el.find("box")
     if box is not None:
         size = _floats(box.get("size"))
-        return (GEOM_BOX, tuple(size / 2.0), pos, quat)
+        return (GEOM_BOX, tuple(size / 2.0), pos, quat, gname)
     cyl = geom_el.find("cylinder")
     if cyl is not None:
         return (
@@ -197,6 +201,7 @@ def _parse_urdf_geom(col_el):
             (float(cyl.get("radius")), float(cyl.get("length")) / 2.0),
             pos,
             quat,
+            gname,
         )
     capsule = geom_el.find("capsule")
     if capsule is not None:
