@@ -24,6 +24,10 @@ class DeformableObjectCfg(AssetBaseCfg):
     """Reference ``DeformableObjectCfg``."""
 
     model: object = MISSING  # SoftBodyModel or () -> SoftBodyModel
+    # entity names whose collision geoms the particles collide against
+    # (one-way rigid->soft coupling; e.g. ["robot"] lets a gripper squeeze
+    # and carry the soft body). Empty = terrain contact only.
+    collide_with: list = []
 
     @configclass
     class InitStateCfg:
@@ -48,8 +52,8 @@ class DeformableObject:
         state = init_soft_state(self.model, num_envs, origin)
         return state._replace(pos=state.pos + env_origins[:, None, :])
 
-    def step(self, est: SoftBodyState, dt: float) -> SoftBodyState:
-        return step_soft_body(self.model, est, dt)
+    def step(self, est: SoftBodyState, dt: float, colliders=None) -> SoftBodyState:
+        return step_soft_body(self.model, est, dt, colliders=colliders)
 
     def reset_to_default(self, est: SoftBodyState, num_envs, env_origins,
                          env_mask=None) -> SoftBodyState:

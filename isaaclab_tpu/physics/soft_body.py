@@ -5,9 +5,15 @@ bodies used by ``DeformableObject``, reference assets/deformable_object/ +
 Design: fixed-topology particle lattices with compliant distance constraints
 solved by Jacobi-style XPBD iterations — fully batched ``(E, P, 3)`` state,
 static constraint lists, no data-dependent shapes, so the whole step jits and
-vmaps. Ground contact is a projection with Coulomb friction. Rigid-soft
-two-way coupling is out of scope (the reference couples through PhysX's
-unified solver; here soft bodies interact with the terrain plane only).
+vmaps. Ground contact is a projection with Coulomb friction.
+
+Rigid-soft coupling (round 3): ONE-WAY particle-vs-rigid-collider contact —
+particles are projected out of sphere/capsule/box colliders with friction
+computed RELATIVE to the collider's motion (a particle resting on or pinched
+by a moving collider is carried with it, which is what makes soft-object
+grasping work). The rigid side feels no reaction (the reference couples
+two-way through PhysX's unified solver; the one-way approximation is
+documented and fine for robot >> soft-object mass ratios).
 """
 
 from __future__ import annotations
@@ -92,11 +98,81 @@ def init_soft_state(model: SoftBodyModel, num_envs: int, origin) -> SoftBodyStat
     )
 
 
+def collide_particles_with_geoms(pred, pos_prev, colliders, friction):
+    """Project particles out of rigid colliders; friction vs collider motion.
+
+    ``pred``: (E, P, 3) predicted positions; ``pos_prev``: (E, P, 3) start
+    positions; ``colliders``: list of (gtype, size, pos_prev, quat_prev,
+    pos_now, quat_now) with per-env (E, 3)/(E, 4) poses. Returns corrected
+    positions. One-way: the collider is kinematic from the particles' view.
+    """
+    from ..utils import math as mu
+    from .model import GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE
+
+    def sdf_normal(gtype, size, local):
+        # signed distance (negative inside) + outward normal, geom frame
+        if gtype == GEOM_SPHERE:
+            r = size[0]
+            d = jnp.linalg.norm(local + 1e-9, axis=-1, keepdims=True)
+            return d - r, local / d
+        if gtype in (GEOM_CAPSULE, GEOM_CYLINDER):
+            r, hl = size[0], size[1]
+            z = jnp.clip(local[..., 2:3], -hl, hl)
+            axis_pt = jnp.concatenate([jnp.zeros_like(z), jnp.zeros_like(z), z], -1)
+            delta = local - axis_pt
+            d = jnp.linalg.norm(delta + 1e-9, axis=-1, keepdims=True)
+            return d - r, delta / d
+        if gtype == GEOM_BOX:
+            half = jnp.asarray(size[:3])
+            q = jnp.abs(local) - half
+            outside = jnp.maximum(q, 0.0)
+            d_out = jnp.linalg.norm(outside + 1e-9, axis=-1, keepdims=True)
+            d_in = jnp.max(q, axis=-1, keepdims=True)
+            inside = d_in < 0
+            # inside: push along the closest face
+            ax = jnp.argmax(q, axis=-1)
+            n_in = jax.nn.one_hot(ax, 3) * jnp.sign(local)
+            n_out = outside * jnp.sign(local) / d_out
+            d = jnp.where(inside, d_in, d_out)
+            n = jnp.where(inside, n_in, n_out)
+            return d, n
+        raise NotImplementedError(f"soft contact vs geom type {gtype}")
+
+    out = pred
+    for gtype, size, g_pos_prev, g_quat_prev, g_pos_now, g_quat_now in colliders:
+        local = mu.quat_apply_inverse(
+            g_quat_now[:, None], out - g_pos_now[:, None]
+        )
+        d, n_local = sdf_normal(int(gtype), size, local)
+        pen = jnp.maximum(-d, 0.0)  # (E, P, 1)
+        n_w = mu.quat_apply(g_quat_now[:, None], n_local)
+        pushed = out + n_w * pen
+        # friction: displacement relative to the rigidly-carried point.
+        # carried = where the particle's START position would be now if it
+        # were glued to the collider — sticking friction cancels relative
+        # tangential motion up to mu * penetration
+        prev_local = mu.quat_apply_inverse(
+            g_quat_prev[:, None], pos_prev - g_pos_prev[:, None]
+        )
+        carried = g_pos_now[:, None] + mu.quat_apply(
+            g_quat_now[:, None], prev_local
+        )
+        rel = pushed - carried
+        rel_t = rel - n_w * jnp.sum(rel * n_w, axis=-1, keepdims=True)
+        t_norm = jnp.linalg.norm(rel_t + 1e-9, axis=-1, keepdims=True)
+        stick = jnp.minimum(friction * pen / t_norm, 1.0)
+        corrected = pushed - rel_t * stick
+        out = jnp.where(pen > 0.0, corrected, out)
+    return out
+
+
 def step_soft_body(model: SoftBodyModel, state: SoftBodyState, dt: float,
                    gravity=(-0.0, 0.0, -9.81), iterations: int = 8,
-                   relaxation: float = 0.35) -> SoftBodyState:
-    """One XPBD substep: predict -> Jacobi constraint projection -> ground
-    contact -> velocity update. All shapes static; jit/vmap friendly."""
+                   relaxation: float = 0.35, colliders=None) -> SoftBodyState:
+    """One XPBD substep: predict -> Jacobi constraint projection -> rigid
+    collider pushout -> ground contact -> velocity update. All shapes
+    static; jit/vmap friendly. ``colliders``: see
+    :func:`collide_particles_with_geoms` (None = terrain only).."""
     g = jnp.asarray(gravity)
     inv_m = jnp.asarray(model.inv_mass)[None, :, None]  # (1, P, 1)
     e0 = jnp.asarray(model.edges[:, 0])
@@ -129,6 +205,11 @@ def step_soft_body(model: SoftBodyModel, state: SoftBodyState, dt: float,
         return p + relaxation * corr, None
 
     pred, _ = jax.lax.scan(solve_iter, pred, None, length=iterations)
+
+    if colliders:
+        pred = collide_particles_with_geoms(
+            pred, state.pos, colliders, model.friction
+        )
 
     # ground plane z=0 with Coulomb friction
     below = pred[..., 2] < 0.0

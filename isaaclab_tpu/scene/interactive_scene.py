@@ -435,11 +435,63 @@ class InteractiveScene:
                 )
         else:  # soft-only scene: nothing rigid to solve
             new_phys = state.phys
-        # XPBD soft bodies step alongside the rigid solve (one-way: terrain
-        # plane only; see physics/soft_body.py)
+        # XPBD soft bodies step alongside the rigid solve. One-way
+        # rigid->soft coupling: particles collide against the listed
+        # entities' geoms with collider-relative friction, so a gripper can
+        # squeeze and carry them (physics/soft_body.py round-3 note)
+        soft_colliders = {
+            name: soft for name, soft in self.deformable_objects.items()
+            if getattr(soft.cfg, "collide_with", None)
+        }
+        if soft_colliders:
+            kin_old = jax.vmap(
+                lambda q: forward_kinematics(self.world_model, q)
+            )(state.phys.q)
+            kin_new = jax.vmap(
+                lambda q: forward_kinematics(self.world_model, q)
+            )(new_phys.q)
         for name, soft in self.deformable_objects.items():
-            new_entities[name] = soft.step(new_entities[name], dt)
+            colliders = None
+            if name in soft_colliders:
+                colliders = self._soft_collider_list(
+                    soft.cfg.collide_with, kin_old, kin_new
+                )
+            new_entities[name] = soft.step(
+                new_entities[name], dt, colliders=colliders
+            )
         return state._replace(phys=new_phys, entities=new_entities)
+
+    def _soft_collider_list(self, entity_names, kin_old, kin_new):
+        """Batched (gtype, size, pos/quat old+new) tuples for the listed
+        entities' collidable geoms (input to
+        physics/soft_body.collide_particles_with_geoms)."""
+        from ..utils import math as mu
+
+        out = []
+        for ename in entity_names:
+            ent = self[ename]
+            sl = ent.slice
+            wm = self.world_model
+            for g in wm.geoms[sl.geom_start : sl.geom_start + sl.geom_count]:
+                if not g.collidable:
+                    continue
+                gp = jnp.asarray(g.pos)
+                gq = jnp.asarray(g.quat)
+
+                def world(kin):
+                    p, q = mu.combine_frame_transforms(
+                        kin.body_pos_w[:, g.body], kin.body_quat_w[:, g.body],
+                        gp[None], gq[None],
+                    )
+                    return p, q
+
+                p0, q0 = world(kin_old)
+                p1, q1 = world(kin_new)
+                out.append(
+                    (g.gtype, np.asarray(g.size, dtype=np.float32),
+                     p0, q0, p1, q1)
+                )
+        return out
 
 
     def apply_terrain_levels(self, state: SceneState, levels, mask):

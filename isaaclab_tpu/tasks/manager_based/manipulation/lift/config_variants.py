@@ -64,6 +64,9 @@ class FrankaTeddyBearLiftEnvCfg(FrankaLiftIKAbsEnvCfg):
                 size=(0.12, 0.08, 0.1), resolution=3, mass=0.3, youngs_modulus=2e4
             ),
             init_state=DeformableObjectCfg.InitStateCfg(pos=(0.5, 0.0, 0.05)),
+            # one-way rigid->soft coupling: the bear collides with (and is
+            # carried by) the gripper through collider-relative friction
+            collide_with=["robot"],
         )
         # softer gripper to not hurt the poor teddy bear (reference :83-85)
         self.scene.robot.actuators["panda_hand"].effort_limit = 50.0

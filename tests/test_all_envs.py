@@ -28,16 +28,26 @@ _REPRESENTATIVES = [
     "Isaac-Reach-Franka-OSC-v0",              # OSC action term
     "Isaac-Lift-Cube-Franka-IK-Rel-v0",       # diff-IK + object grasp
     "Isaac-Lift-Teddy-Bear-Franka-IK-Abs-v0",  # deformable object
-    "Isaac-Stack-Cube-Franka-v0",             # multi-object + gripper binary
-    "Isaac-PickPlace-GR1T2-Abs-v0",           # pink-IK humanoid arms
     "Isaac-Open-Drawer-Franka-v0",            # articulated prop (cabinet)
-    "Isaac-Factory-PegInsert-Direct-v0",      # factory assembly
     "Isaac-Repose-Cube-Allegro-v0",           # manager-based in-hand
-    "Isaac-Repose-Cube-Shadow-OpenAI-LSTM-Direct-v0",  # asymmetric + LSTM
-    "Isaac-Shadow-Hand-Over-Direct-v0",       # MARL
     "Isaac-Humanoid-AMP-Walk-Direct-v0",      # AMP
     "Isaac-Cartpole-Showcase-Dict-Box-Direct-v0",    # dict obs space
     "Isaac-Cartpole-Showcase-Tuple-Discrete-Direct-v0",  # tuple/discrete
+]
+
+# The heavy tier: many-box collision plans (the SAT box-box pairs alone
+# trace to ~10k HLO ops per pair) or 24-dof tendon hands whose XLA:CPU
+# compiles run tens of minutes on the 2-core CI box. Included with
+# ISAACLAB_TPU_SWEEP_HEAVY=1 (and by the FULL_SWEEP); the mechanisms keep
+# default-tier coverage elsewhere: the factory grasp has its own test file,
+# box-box narrowphase is covered by tests/test_physics.py, shadow by
+# tests/test_shadow_hand.py, MARL by tests/test_direct_envs.py.
+_HEAVY_REPRESENTATIVES = [
+    "Isaac-Stack-Cube-Franka-v0",             # multi-object + gripper binary
+    "Isaac-PickPlace-GR1T2-Abs-v0",           # pink-IK humanoid arms
+    "Isaac-Factory-PegInsert-Direct-v0",      # factory assembly
+    "Isaac-Repose-Cube-Shadow-OpenAI-LSTM-Direct-v0",  # asymmetric + LSTM
+    "Isaac-Shadow-Hand-Over-Direct-v0",       # MARL
 ]
 
 
@@ -55,9 +65,12 @@ def _all_task_ids():
         if "isaaclab_tpu" in ep and "-Play-" not in tid:
             ids.append(tid)
     if not os.environ.get("ISAACLAB_TPU_FULL_SWEEP"):
-        missing = [t for t in _REPRESENTATIVES if t not in ids]
+        reps = list(_REPRESENTATIVES)
+        if os.environ.get("ISAACLAB_TPU_SWEEP_HEAVY"):
+            reps += _HEAVY_REPRESENTATIVES
+        missing = [t for t in reps if t not in ids]
         assert not missing, f"representative tasks not registered: {missing}"
-        return list(_REPRESENTATIVES)
+        return reps
     # full sweep: collapse the space-showcase grids (same MDP through
     # different gym spaces) to a diagonal of representatives — the grid
     # covers 24 IDs whose physics/managers are identical.
