@@ -11,7 +11,12 @@ pattern so planar motion is visible to vision policies.
 
 Supported data types (reference camera_data.py output keys): ``rgb``,
 ``depth`` (alias ``distance_to_image_plane``), ``distance_to_camera``,
-``normals``.
+``normals``, ``semantic_segmentation`` (per-BODY ids: 0 = background,
+1 = ground, body_index + 2 otherwise) and
+``instance_segmentation_fast`` / ``instance_id_segmentation_fast``
+(per-GEOM ids: 0 = background, 1 = ground, geom_index + 2) — the analytic
+tracer knows the nearest primitive exactly, so the reference's replicator
+annotators reduce to id selection.
 """
 
 from __future__ import annotations
@@ -170,7 +175,7 @@ class TiledCamera(SensorBase):
         H, W = self.image_shape
         out = {}
         for dt in self.cfg.data_types:
-            C = 3 if dt in ("rgb", "normals") else 1
+            C = 3 if dt in ("rgb", "normals") else 1  # seg types are 1-ch ids
             out[dt] = jnp.zeros((num_envs, H, W, C), dtype=jnp.float32)
         return TiledCameraState(
             output=out,
@@ -206,7 +211,7 @@ class TiledCamera(SensorBase):
             starts = jnp.broadcast_to(cam_pos, dirs.shape)
             return _trace(starts, dirs, self._geoms, kin_e, far, self.cfg)
 
-        t, normal, albedo = jax.vmap(
+        t, normal, albedo, sem_id, inst_id = jax.vmap(
             render_one, in_axes=(0, 0, 0)
         )(pos, quat, kin)
 
@@ -250,6 +255,14 @@ class TiledCamera(SensorBase):
             out["distance_to_camera"] = jnp.where(t < far, t, far).reshape(
                 E, H, W, 1
             )
+        if "semantic_segmentation" in self.cfg.data_types:
+            out["semantic_segmentation"] = jnp.where(hit, sem_id, 0).reshape(
+                E, H, W, 1
+            )
+        for key in ("instance_segmentation_fast",
+                    "instance_id_segmentation_fast"):
+            if key in self.cfg.data_types:
+                out[key] = jnp.where(hit, inst_id, 0).reshape(E, H, W, 1)
         return TiledCameraState(output=out, pos_w=pos, quat_w=quat)
 
     def reset(self, state, env_mask, key=None):
@@ -282,7 +295,9 @@ Camera = TiledCamera
 
 
 def _trace(starts, dirs, geoms, kin, far, cfg):
-    """Nearest-hit trace returning (t, normal, albedo), each (N, ...)."""
+    """Nearest-hit trace returning (t, normal, albedo, semantic_id,
+    instance_id), each (N, ...). Ids: 1 = ground, body_index + 2 /
+    geom_index + 2 for hits (0 = miss, applied by the caller)."""
     from ..physics.model import GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE
     from .ray_caster import _ray_box, _ray_capsule, _ray_sphere
 
@@ -290,6 +305,8 @@ def _trace(starts, dirs, geoms, kin, far, cfg):
     t_best = jnp.full((N,), far)
     n_best = jnp.zeros((N, 3))
     a_best = jnp.zeros((N, 3))
+    sem_best = jnp.zeros((N,), jnp.int32)
+    inst_best = jnp.zeros((N,), jnp.int32)
 
     # ground plane z=0 (camera tasks are flat-ground; height-field depth
     # sensing is served by RayCasterCamera)
@@ -308,8 +325,10 @@ def _trace(starts, dirs, geoms, kin, far, cfg):
     t_best = jnp.where(m, t_g, t_best)
     n_best = jnp.where(m[:, None], n_g, n_best)
     a_best = jnp.where(m[:, None], ground_alb, a_best)
+    sem_best = jnp.where(m, 1, sem_best)
+    inst_best = jnp.where(m, 1, inst_best)
 
-    for gtype, size, body, gpos, gquat, color in geoms:
+    for gi, (gtype, size, body, gpos, gquat, color) in enumerate(geoms):
         bp = kin.body_pos_w[body]
         bq = kin.body_quat_w[body]
         pos = bp + math_utils.quat_apply(bq, jnp.asarray(gpos))
@@ -352,8 +371,10 @@ def _trace(starts, dirs, geoms, kin, far, cfg):
         t_best = jnp.where(m, t, t_best)
         n_best = jnp.where(m[:, None], n, n_best)
         a_best = jnp.where(m[:, None], jnp.asarray(color)[None], a_best)
+        sem_best = jnp.where(m, body + 2, sem_best)
+        inst_best = jnp.where(m, gi + 2, inst_best)
 
     # normals face the ray origin
     flip = jnp.sum(n_best * dirs, axis=-1) > 0.0
     n_best = jnp.where(flip[:, None], -n_best, n_best)
-    return t_best, n_best, a_best
+    return t_best, n_best, a_best, sem_best, inst_best

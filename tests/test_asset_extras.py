@@ -142,3 +142,37 @@ class TestDeformableObject:
         np.testing.assert_allclose(pos[:, 0], start0, atol=1e-5)
         # unpinned particles hang below
         assert pos[:, 1:, 2].min() < start0[0, 2] - 0.02
+
+
+class TestTiledCameraSegmentation:
+    """Segmentation annotators (reference replicator semantic/instance
+    annotators, camera.py + tiled_camera.py data types)."""
+
+    def test_segmentation_ids(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from isaaclab_tpu.envs import ManagerBasedRLEnv
+        from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_camera_env_cfg import (
+            CartpoleRGBCameraEnvCfg,
+        )
+
+        cfg = CartpoleRGBCameraEnvCfg()
+        cfg.scene.num_envs = 2
+        cfg.scene.tiled_camera.data_types = [
+            "rgb", "semantic_segmentation", "instance_id_segmentation_fast",
+        ]
+        env = ManagerBasedRLEnv(cfg)
+        state = jax.jit(env.init_state)(jax.random.PRNGKey(0))
+        cam_state = state.scene.sensors["tiled_camera"]
+        sem = np.asarray(cam_state.output["semantic_segmentation"])
+        inst = np.asarray(cam_state.output["instance_id_segmentation_fast"])
+        E, H, W, _ = sem.shape
+        assert sem.dtype in (np.int32, np.int64)
+        # the cartpole fills part of the frame: ids beyond background(0)
+        # and ground(1) must appear, and ids are body/geom-consistent
+        assert sem.max() >= 2, "no robot body visible in semantic ids"
+        assert inst.max() >= 2
+        # instance ids refine semantic ids: at least as many distinct values
+        assert len(np.unique(inst)) >= len(np.unique(sem))
