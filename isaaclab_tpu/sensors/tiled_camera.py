@@ -174,9 +174,15 @@ class TiledCamera(SensorBase):
     def init_state(self, num_envs: int) -> TiledCameraState:
         H, W = self.image_shape
         out = {}
+        seg_types = ("semantic_segmentation", "instance_segmentation_fast",
+                     "instance_id_segmentation_fast")
         for dt in self.cfg.data_types:
             C = 3 if dt in ("rgb", "normals") else 1  # seg types are 1-ch ids
-            out[dt] = jnp.zeros((num_envs, H, W, C), dtype=jnp.float32)
+            # segmentation ids are int32 in update(); allocating float32 here
+            # would flip the state pytree dtype after the first step and break
+            # lax.scan-carried rollouts (ADVICE r3)
+            dtype = jnp.int32 if dt in seg_types else jnp.float32
+            out[dt] = jnp.zeros((num_envs, H, W, C), dtype=dtype)
         return TiledCameraState(
             output=out,
             pos_w=jnp.zeros((num_envs, 3)),

@@ -13,7 +13,8 @@ zero at full insertion (factory_env.py:236+). The action is a 6d task-space
 delta-pose of the hand tracked through differential IK.
 
 Documented divergences from the reference: the socket is a 4-box ring with
-~2 mm radial clearance (the reference uses SDF collision on non-convex
+~4.5 mm radial clearance (hole half-width 0.0125 vs peg radius 0.008 — see
+``build_socket_model``; the reference uses SDF collision on non-convex
 meshes at ~0.1 mm clearance, beyond the primitive narrowphase here), and
 the GearMesh/NutThread variants still weld their held asset to the hand
 (``FactoryTaskCfg.weld_held_asset``) pending the same free-body treatment.

@@ -92,17 +92,20 @@ def _franka_arm(b: ModelBuilder):
     return hand
 
 
-def _add_ring(b, body, hole_r, width, half_h, z, friction=0.8):
+def _add_ring(b, body, hole_r, width, half_h, z, friction=0.8,
+              name_prefix="held_ring"):
     """4-box ring with an inner square hole of half-width ``hole_r`` —
-    the primitive stand-in for a gear/nut bore."""
-    for dx, dy, sx, sy in (
+    the primitive stand-in for a gear/nut bore. Geoms are NAMED so
+    collision filters can scope them (welded held assets must keep their
+    pairs vs the fixed asset while the arm links drop theirs)."""
+    for i, (dx, dy, sx, sy) in enumerate((
         (hole_r + width, 0, width, hole_r + 2 * width),
         (-(hole_r + width), 0, width, hole_r + 2 * width),
         (0, hole_r + width, hole_r + 2 * width, width),
         (0, -(hole_r + width), hole_r + 2 * width, width),
-    ):
+    )):
         b.add_geom(body, GEOM_BOX, (sx, sy, half_h), pos=(dx, dy, z),
-                   friction=friction)
+                   friction=friction, name=f"{name_prefix}{i}")
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +158,12 @@ class GearMeshSceneCfg(FactorySceneCfg):
             init_state=ArticulationInitStateCfg(pos=(0.55, 0.0, 0.0)),
             actuators={},
         )
+        # the inherited PegInsert filter drops EVERY robot-vs-fixed pair
+        # (welded gear geoms live on the robot); keep the welded held_ring*
+        # geoms' pairs so gear-on-shaft insertion physics exists
+        self.collision_filters = [
+            ("robot", "^(?!.*(fingertip|held_ring)).*$", "fixed_asset", ".*"),
+        ]
 
 
 @configclass
@@ -219,6 +228,10 @@ class NutThreadSceneCfg(FactorySceneCfg):
             init_state=ArticulationInitStateCfg(pos=(0.55, 0.0, 0.0)),
             actuators={},
         )
+        # keep the welded nut's held_ring* pairs vs the bolt (see GearMesh)
+        self.collision_filters = [
+            ("robot", "^(?!.*(fingertip|held_ring)).*$", "fixed_asset", ".*"),
+        ]
 
 
 @configclass

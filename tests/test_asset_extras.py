@@ -176,3 +176,35 @@ class TestTiledCameraSegmentation:
         assert inst.max() >= 2
         # instance ids refine semantic ids: at least as many distinct values
         assert len(np.unique(inst)) >= len(np.unique(sem))
+
+    def test_segmentation_dtype_scan_stable(self):
+        """Regression (ADVICE r3): init_state allocated float32 for the
+        int32 segmentation outputs, flipping the state pytree dtype after
+        the first update and erroring lax.scan-carried rollouts."""
+        import jax
+        import jax.numpy as jnp
+
+        from isaaclab_tpu.envs import ManagerBasedRLEnv
+        from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_camera_env_cfg import (
+            CartpoleRGBCameraEnvCfg,
+        )
+
+        cfg = CartpoleRGBCameraEnvCfg()
+        cfg.scene.num_envs = 2
+        cfg.scene.tiled_camera.data_types = [
+            "rgb", "semantic_segmentation", "instance_segmentation_fast",
+        ]
+        env = ManagerBasedRLEnv(cfg)
+        state = jax.jit(env.init_state)(jax.random.PRNGKey(0))
+        act = jnp.zeros((2, env.action_manager.total_action_dim))
+
+        def body(carry, _):
+            s, _out = env.step_state(carry, act)
+            return s, None
+
+        # dtype flip between carry-in and carry-out would raise here
+        state2, _ = jax.lax.scan(body, state, None, length=2)
+        out0 = state.scene.sensors["tiled_camera"].output
+        out2 = state2.scene.sensors["tiled_camera"].output
+        for k in out0:
+            assert out0[k].dtype == out2[k].dtype, k

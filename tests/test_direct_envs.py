@@ -126,3 +126,39 @@ class TestLidarFly:
         # scan values in [0, 1]
         scan = obs["policy"][:, : env.num_rays]
         assert bool(jnp.all((scan >= -1e-5) & (scan <= 1.0 + 1e-5)))
+
+
+class TestFactoryWeldedCollisionPlans:
+    """Regression (ADVICE r3): GearMesh/NutThread inherited PegInsert's
+    collision filters whose negative-lookahead regex matched the unnamed
+    welded geoms and dropped EVERY robot-vs-fixed pair — the welded held
+    asset passed straight through the fixed asset."""
+
+    def _robot_fixed_pairs(self, scene_cfg):
+        from isaaclab_tpu.scene import InteractiveScene
+
+        sc = InteractiveScene(scene_cfg)
+        ba, bb = sc.collision_plan.static_bodies()
+        sl_r, sl_f = sc.slices["robot"], sc.slices["fixed_asset"]
+        rb = set(range(sl_r.body_start, sl_r.body_start + sl_r.body_count))
+        fb = set(range(sl_f.body_start, sl_f.body_start + sl_f.body_count))
+        return sum(
+            1 for a, b in zip(ba, bb)
+            if (a in rb and b in fb) or (a in fb and b in rb)
+        )
+
+    def test_gear_mesh_has_insertion_pairs(self):
+        from isaaclab_tpu.tasks.direct.factory.factory_tasks import (
+            GearMeshSceneCfg,
+        )
+
+        assert self._robot_fixed_pairs(
+            GearMeshSceneCfg(num_envs=2, env_spacing=2.0)) > 0
+
+    def test_nut_thread_has_insertion_pairs(self):
+        from isaaclab_tpu.tasks.direct.factory.factory_tasks import (
+            NutThreadSceneCfg,
+        )
+
+        assert self._robot_fixed_pairs(
+            NutThreadSceneCfg(num_envs=2, env_spacing=2.0)) > 0
