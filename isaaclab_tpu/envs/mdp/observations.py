@@ -220,10 +220,12 @@ def image(
 
 
 # Frozen feature extractors (reference observations.py:image_features with
-# pretrained ResNet18 / Theia-Tiny downloads). Offline TPU build: same API
-# and output dims, but deterministic fixed-seed random features (frozen
-# random projections are a known-strong baseline for RL from pixels; no
-# network weights can be fetched in this environment).
+# pretrained ResNet18 / Theia-Tiny downloads). ResNet models run the EXACT
+# torchvision inference graph (vision_backbones.py) — with a converted
+# checkpoint (tools/convert_vision_weights.py) the features match torch to
+# f32 tolerance; without one (this build env has zero egress) the same
+# architecture runs deterministic He-init weights. Theia remains a
+# fixed-seed stand-in (transformer weights unavailable offline).
 _FEATURE_EXTRACTORS: dict = {}
 
 
@@ -246,22 +248,16 @@ def _get_feature_extractor(model_name: str, H: int, W: int, C: int):
     import jax.lax as lax
 
     if "resnet" in model_name:
-        out_dim = 512
-        ws = _frozen_cnn_params(
-            [(8, 8, C, 32), (4, 4, 32, 64), (3, 3, 64, 128), (128, out_dim)],
-            seed=18,
-        )
+        # exact torchvision graph; 1000-dim logits like the reference's
+        # full-model forward (observations.py:501 `model(image_proc)`)
+        from .vision_backbones import load_backbone
 
-        def extract(x):  # (E, H, W, C) float
-            for i, w in enumerate(ws[:-1]):
-                x = lax.conv_general_dilated(
-                    x, w, window_strides=((4, 4), (2, 2), (2, 2))[i],
-                    padding="SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-                x = jax.nn.relu(x)
-            x = jnp.mean(x, axis=(1, 2))  # global average pool
-            return x @ ws[-1]
+        apply_fn, out_dim, _pretrained = load_backbone(model_name)
+
+        def extract(x):  # (E, H, W, C) float in [0, 1]
+            if x.shape[-1] == 1:  # depth camera variants: replicate to rgb
+                x = jnp.repeat(x, 3, axis=-1)
+            return apply_fn(x)
 
     else:  # theia-style: patch embedding + token mixing
         out_dim = 192
