@@ -1,23 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark driver entry.
+"""Benchmark driver entry — mirrors the reference's 3-column KPI tables
+(performance_benchmarks.rst: pure env stepping / + policy inference /
++ training) plus device memory, per workload.
 
-Emits one JSON line per workload (BASELINE.md rows 1, 3, 4), with the
-headline cartpole metric LAST so a tail-line parser records it:
+Emits one JSON line per workload, headline cartpole LAST so a tail-line
+parser records it:
 
-  anymal_rough_env_step_fps_4096envs_1chip   vs 94k   (4090, rst:61)
-  shadow_repose_env_step_fps_8192envs_1chip  vs 200k  (4090, rst:63)
-  cartpole_env_step_fps_4096envs_1chip       vs 1.10M (4090, rst:57)
+  anymal_rough_env_step_fps_4096envs_1chip    vs  94k step (4090, rst:61)
+  shadow_repose_env_step_fps_8192envs_1chip   vs 200k step (4090, rst:63)
+  cartpole_camera_env_step_fps_1024envs_1chip vs  50k step (4090, rst:59)
+  anymal_flat_env_step_fps_8192envs_1chip     vs 5M north star (BASELINE.json)
+  cartpole_env_step_fps_4096envs_1chip        vs 1.10M step (4090, rst:57)
+
+Each row: value = step FPS (primary), plus infer_fps / train_fps /
+vs_baseline_infer / vs_baseline_train / peak_hbm_gb when measurable.
 
 Fault isolation is PROCESS-LEVEL: each workload runs in its own Python
-subprocess so a TPU-worker crash (the round-2 failure mode: one workload
-kernel-faulted the worker and took every subsequent in-process workload
-down with it) costs exactly one row. Results come back over stdout JSON.
+subprocess so a TPU-worker crash costs exactly one row. Column failures
+inside a workload degrade to the columns that did succeed.
 
-Actions are random (fixed PRNG), not zeros — zero actions leave contact
--heavy workloads standing still and understate solver cost vs the
-reference's random-action benchmark (`scripts/benchmarks/benchmark_non_rl.py`).
+Actions for the step column are random (fixed PRNG) — zero actions leave
+contact-heavy workloads standing still and understate solver cost vs the
+reference's random-action benchmark (scripts/benchmarks/benchmark_non_rl.py).
 
-Set BENCH_HEADLINE_ONLY=1 to run only the cartpole row.
+Set BENCH_HEADLINE_ONLY=1 to run only the cartpole row; BENCH_STEP_ONLY=1
+to skip the inference/train columns.
 """
 
 import json
@@ -32,17 +39,58 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-# reference 1x RTX 4090 step-FPS (BASELINE.md)
+# reference 1x RTX 4090 FPS triplets (step, +inference, +train), BASELINE.md
 BASELINES = {
-    "cartpole_env_step_fps_4096envs_1chip": 1_100_000.0,  # rst:57
-    "anymal_rough_env_step_fps_4096envs_1chip": 94_000.0,  # Rough-G1 proxy, rst:61
-    "shadow_repose_env_step_fps_8192envs_1chip": 200_000.0,  # rst:63
+    "cartpole_env_step_fps_4096envs_1chip": (1_100_000.0, 910_000.0, 510_000.0),
+    "cartpole_camera_env_step_fps_1024envs_1chip": (50_000.0, 45_000.0, 32_000.0),
+    "anymal_rough_env_step_fps_4096envs_1chip": (94_000.0, 88_000.0, 82_000.0),
+    "shadow_repose_env_step_fps_8192envs_1chip": (200_000.0, 190_000.0, 170_000.0),
+    # BASELINE.json north star: 5M env-steps/s @ 8192 envs/chip on
+    # Anymal-velocity (no reference 3-column row exists at this size)
+    "anymal_flat_env_step_fps_8192envs_1chip": (5_000_000.0, None, None),
 }
-# Per-workload subprocess wall clamp (compile can take minutes cold).
-WORKLOAD_TIMEOUT_S = float(os.environ.get("BENCH_WORKLOAD_TIMEOUT", 1500))
+# Per-workload subprocess wall clamp (compile can take many minutes cold).
+WORKLOAD_TIMEOUT_S = float(os.environ.get("BENCH_WORKLOAD_TIMEOUT", 2700))
 
 
-def _measure(env, num_envs, steps_per_call=64, seconds=3.0):
+def _sync(x):
+    import jax
+
+    jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
+
+
+def _time_loop(run, carry, steps_per_call, num_envs, seconds, *, with_key=False):
+    """Time carry -> carry chunks; returns env-steps/s. Sync via device_get
+    of a scalar — over the axon tunnel block_until_ready can return before
+    queued work completes."""
+    import jax
+
+    key = jax.random.PRNGKey(1)
+    if with_key:
+        key, k = jax.random.split(key)
+        carry = run(carry, k)
+    else:
+        carry = run(carry)
+    _sync(carry)
+    n_calls = 0
+    t0 = time.perf_counter()
+    while True:
+        if with_key:
+            key, k = jax.random.split(key)
+            carry = run(carry, k)
+        else:
+            carry = run(carry)
+        n_calls += 1
+        if n_calls % 4 == 0:
+            _sync(carry)
+            if time.perf_counter() - t0 > seconds:
+                break
+    _sync(carry)
+    dt = time.perf_counter() - t0
+    return n_calls * steps_per_call * num_envs / dt
+
+
+def _measure_step(env, num_envs, steps_per_call=32, seconds=3.0):
     import jax
     import jax.numpy as jnp
 
@@ -53,11 +101,8 @@ def _measure(env, num_envs, steps_per_call=64, seconds=3.0):
 
     @jax.jit
     def run_chunk(s, key):
-        # NOTE: action buffers are created INSIDE the trace — closing over
-        # an eagerly-created device array forces a trace-time device-to-host
-        # copy that permanently degrades dispatch over the axon TPU tunnel.
-        # Random actions (not zeros): contact-heavy workloads must move so
-        # collision/solver cost matches the reference's random-action bench.
+        # action buffers created INSIDE the trace — closing over an eager
+        # device array forces a trace-time d2h copy over the axon tunnel
         def body(carry, k):
             action = jax.random.uniform(
                 k, (num_envs, act_dim), minval=-1.0, maxval=1.0
@@ -69,102 +114,206 @@ def _measure(env, num_envs, steps_per_call=64, seconds=3.0):
         s, _ = jax.lax.scan(body, s, keys)
         return s
 
-    # warmup/compile. NOTE: sync via device_get of a scalar — over the axon
-    # tunnel, block_until_ready can return before queued work completes
-    # (measured: 64 queued chunks "ready" in 10ms), inflating FPS ~1000x.
-    def sync(s):
-        jax.device_get(s.scene.phys.q[0, 0])
-
-    key = jax.random.PRNGKey(1)
-    key, k = jax.random.split(key)
-    state = run_chunk(state, k)
-    sync(state)
-
-    # time-based loop: enough chunks to dominate timer/dispatch noise
-    n_calls = 0
-    t0 = time.perf_counter()
-    while True:
-        key, k = jax.random.split(key)
-        state = run_chunk(state, k)
-        n_calls += 1
-        if n_calls % 4 == 0:
-            sync(state)
-            if time.perf_counter() - t0 > seconds:
-                break
-    sync(state)
-    dt = time.perf_counter() - t0
-    return n_calls * steps_per_call * num_envs / dt
+    return _time_loop(run_chunk, state, steps_per_call, num_envs, seconds,
+                      with_key=True)
 
 
-def bench_anymal_rough(num_envs):
-    from isaaclab_tpu.envs import ManagerBasedRLEnv
+def _make_runner(env, task_id):
+    from isaaclab_tpu.rl import OnPolicyRunner, RslRlVecEnvWrapper
+    from isaaclab_tpu.tasks.utils import load_cfg_from_registry
+
+    agent_cfg = load_cfg_from_registry(task_id, "rsl_rl_cfg_entry_point")
+    wrapped = RslRlVecEnvWrapper(env)
+    return OnPolicyRunner(wrapped, agent_cfg, log_dir=None)
+
+
+def _measure_inference(env, task_id, num_envs, steps_per_call=32, seconds=3.0):
+    """Step + policy forward (reference '+inference' column: random-weight
+    policy at init, deterministic action mean)."""
+    import jax
+    import jax.numpy as jnp
+
+    from isaaclab_tpu.rl.networks import normalize_obs
+
+    runner = _make_runner(env, task_id)
+    if runner.recurrent:
+        raise RuntimeError("recurrent inference column not benched")
+    ts = runner.init_train_state(seed=0)
+    params = ts.update.params
+    norm = ts.normalizer
+    use_norm = runner.cfg.empirical_normalization
+    net = runner.net
+
+    @jax.jit
+    def run_chunk(carry):
+        def body(c, _):
+            env_state, obs = c
+            n_obs = normalize_obs(norm, obs) if use_norm else obs
+            mean, _, _ = net.apply(params, n_obs, n_obs)
+            action = mean
+            env_state, obs2, _cobs, _r, _t, _to, _log = runner._env_step(
+                env_state, action
+            )
+            return (env_state, obs2), None
+
+        c, _ = jax.lax.scan(body, carry, None, length=steps_per_call)
+        return c
+
+    carry0 = (ts.env_state, ts.last_obs)
+    return _time_loop(run_chunk, carry0, steps_per_call, num_envs, seconds)
+
+
+def _measure_train(env, task_id, num_envs, seconds=6.0):
+    """Full PPO train iterations (rollout + GAE + epochs of minibatch SGD) —
+    the reference '+train' column."""
+    import jax
+
+    runner = _make_runner(env, task_id)
+    ts = runner.init_train_state(seed=0)
+    step = jax.jit(runner._train_iteration)
+    steps_per_iter = runner.num_steps * num_envs
+
+    def run(s):
+        s2, _m = step(s)
+        return s2
+
+    return _time_loop(run, ts, steps_per_iter, 1, seconds)
+
+
+def _peak_hbm_gb():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return round(peak / 2**30, 3) if peak else None
+    except Exception:
+        return None
+
+
+def _bench_workload(make_env, task_id, num_envs, steps_per_call=32):
+    row = {}
+    env = make_env(num_envs)
+    row["step"] = _measure_step(env, num_envs, steps_per_call)
+    if not os.environ.get("BENCH_STEP_ONLY"):
+        try:
+            row["infer"] = _measure_inference(
+                env, task_id, num_envs, steps_per_call)
+        except Exception as ex:  # degrade to the columns that work
+            print(f"# inference column failed: {ex!r}", file=sys.stderr)
+        try:
+            row["train"] = _measure_train(env, task_id, num_envs)
+        except Exception as ex:
+            print(f"# train column failed: {ex!r}", file=sys.stderr)
+    row["peak_hbm_gb"] = _peak_hbm_gb()
+    return row
+
+
+def _env_manager_based(cfg_cls):
+    def make(num_envs):
+        from isaaclab_tpu.envs import ManagerBasedRLEnv
+
+        cfg = cfg_cls()
+        cfg.scene.num_envs = num_envs
+        return ManagerBasedRLEnv(cfg)
+
+    return make
+
+
+def make_cartpole(num_envs):
+    from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_env_cfg import (
+        CartpoleEnvCfg,
+    )
+
+    return _env_manager_based(CartpoleEnvCfg)(num_envs)
+
+
+def make_cartpole_camera(num_envs):
+    from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_camera_env_cfg import (
+        CartpoleRGBCameraEnvCfg,
+    )
+
+    return _env_manager_based(CartpoleRGBCameraEnvCfg)(num_envs)
+
+
+def make_anymal_rough(num_envs):
     from isaaclab_tpu.tasks.manager_based.locomotion.velocity.config.anymal_c.rough_env_cfg import (
         AnymalCRoughEnvCfg,
     )
 
-    cfg = AnymalCRoughEnvCfg()
-    cfg.scene.num_envs = num_envs
-    env = ManagerBasedRLEnv(cfg)
-    return _measure(env, num_envs, steps_per_call=32)
+    return _env_manager_based(AnymalCRoughEnvCfg)(num_envs)
 
 
-def bench_shadow(num_envs):
+def make_anymal_flat(num_envs):
+    from isaaclab_tpu.tasks.manager_based.locomotion.velocity.config.anymal_c.flat_env_cfg import (
+        AnymalCFlatEnvCfg,
+    )
+
+    return _env_manager_based(AnymalCFlatEnvCfg)(num_envs)
+
+
+def make_shadow(num_envs):
     import gymnasium as gym
 
     import isaaclab_tpu.tasks  # noqa: F401
     from isaaclab_tpu.tasks.utils import parse_env_cfg
 
     cfg = parse_env_cfg("Isaac-Repose-Cube-Shadow-Direct-v0", num_envs=num_envs)
-    env = gym.make("Isaac-Repose-Cube-Shadow-Direct-v0", cfg=cfg).unwrapped
-    return _measure(env, num_envs, steps_per_call=32)
+    return gym.make(
+        "Isaac-Repose-Cube-Shadow-Direct-v0", cfg=cfg
+    ).unwrapped
 
 
-def bench_cartpole(num_envs):
-    from isaaclab_tpu.envs import ManagerBasedRLEnv
-    from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_env_cfg import (
-        CartpoleEnvCfg,
-    )
-
-    cfg = CartpoleEnvCfg()
-    cfg.scene.num_envs = num_envs
-    env = ManagerBasedRLEnv(cfg)
-    return _measure(env, num_envs, steps_per_call=64)
-
-
+# name -> (make_env, task_id for agent cfg, env-count env var, default envs,
+#          steps per timed chunk, optional proxy note)
 WORKLOADS = {
     "anymal_rough_env_step_fps_4096envs_1chip": (
-        bench_anymal_rough,
-        "BENCH_ROUGH_ENVS",
-        4096,
+        make_anymal_rough, "Isaac-Velocity-Rough-Anymal-C-v0",
+        "BENCH_ROUGH_ENVS", 4096, 32, "Isaac-Velocity-Rough-G1-v0",
     ),
     "shadow_repose_env_step_fps_8192envs_1chip": (
-        bench_shadow,
-        "BENCH_SHADOW_ENVS",
-        8192,
+        make_shadow, "Isaac-Repose-Cube-Shadow-Direct-v0",
+        "BENCH_SHADOW_ENVS", 8192, 32, None,
+    ),
+    "cartpole_camera_env_step_fps_1024envs_1chip": (
+        make_cartpole_camera, "Isaac-Cartpole-RGB-v0",
+        "BENCH_CAMERA_ENVS", 1024, 16, "Isaac-Cartpole-RGB-Camera-Direct-v0",
+    ),
+    "anymal_flat_env_step_fps_8192envs_1chip": (
+        make_anymal_flat, "Isaac-Velocity-Flat-Anymal-C-v0",
+        "BENCH_FLAT_ENVS", 8192, 32, "north-star: BASELINE.json 5M @ 8192",
     ),
     "cartpole_env_step_fps_4096envs_1chip": (
-        bench_cartpole,
-        "BENCH_NUM_ENVS",
-        4096,
+        make_cartpole, "Isaac-Cartpole-v0",
+        "BENCH_NUM_ENVS", 4096, 64, None,
     ),
 }
 
 
 def _run_one(name):
     """Child-process entry: run one workload, print its JSON row."""
-    fn, env_var, default_envs = WORKLOADS[name]
+    make_env, task_id, env_var, default_envs, spc, proxy = WORKLOADS[name]
     num_envs = int(os.environ.get(env_var, default_envs))
-    fps = fn(num_envs)
+    res = _bench_workload(make_env, task_id, num_envs, steps_per_call=spc)
+    base_step, base_infer, base_train = BASELINES[name]
     row = {
         "metric": name,
-        "value": round(fps),
+        "value": round(res["step"]),
         "unit": "env-steps/s",
-        "vs_baseline": round(fps / BASELINES[name], 4),
+        "vs_baseline": round(res["step"] / base_step, 4),
     }
-    if name.startswith("anymal_rough"):
-        # baseline row is Velocity-Rough-G1 (biped, 37 bodies); we bench
-        # AnymalCRough as the closest contact+raycast-heavy proxy
-        row["proxy_for"] = "Isaac-Velocity-Rough-G1-v0"
+    if "infer" in res:
+        row["infer_fps"] = round(res["infer"])
+        if base_infer:
+            row["vs_baseline_infer"] = round(res["infer"] / base_infer, 4)
+    if "train" in res:
+        row["train_fps"] = round(res["train"])
+        if base_train:
+            row["vs_baseline_train"] = round(res["train"] / base_train, 4)
+    if res.get("peak_hbm_gb") is not None:
+        row["peak_hbm_gb"] = res["peak_hbm_gb"]
+    if proxy:
+        row["proxy_for"] = proxy
     print(json.dumps(row), flush=True)
 
 

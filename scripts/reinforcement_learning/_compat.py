@@ -40,6 +40,17 @@ def native_train(task, env_cfg, agent_cfg, logdir, library, max_iterations=None,
         agent_cfg.seed = seed
     if max_iterations is not None:
         agent_cfg.max_iterations = max_iterations
+    # per-process seed decorrelation under multi-host DP (reference
+    # train.py:119-126 offsets seeds by rank)
+    import jax
+
+    if jax.process_count() > 1:
+        rank = jax.process_index()
+        agent_cfg.seed = (agent_cfg.seed or 0) + rank
+        if getattr(env_cfg, "seed", None) is not None:
+            env_cfg.seed += rank
+        else:
+            env_cfg.seed = rank
     env = gym.make(task, cfg=env_cfg).unwrapped
     env = RslRlVecEnvWrapper(env)
     run_name = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")

@@ -49,6 +49,20 @@ def main():
     if args_cli.max_iterations is not None:
         agent_cfg.max_iterations = args_cli.max_iterations
 
+    # per-process seed decorrelation under multi-host DP (reference
+    # rsl_rl/train.py:119-126 offsets seeds by the torchrun rank): without
+    # this every host collects IDENTICAL rollouts and multi-host training
+    # adds no sample diversity
+    if app_launcher.distributed:
+        import jax
+
+        rank = jax.process_index()
+        agent_cfg.seed = (agent_cfg.seed or 0) + rank
+        if getattr(env_cfg, "seed", None) is not None:
+            env_cfg.seed += rank
+        else:
+            env_cfg.seed = rank
+
     env = gym.make(args_cli.task, cfg=env_cfg).unwrapped
     env = RslRlVecEnvWrapper(env)
 
