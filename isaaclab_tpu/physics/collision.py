@@ -514,14 +514,83 @@ def _closest_segment_points(a0, a1, b0, b1):
     return a0 + d1 * s, b0 + d2 * t_cl
 
 
+def _geom_bounding_radius(geom) -> float:
+    """Conservative radius of the geom about its own frame origin."""
+    s = [float(v) for v in geom.size]
+    if geom.gtype == GEOM_SPHERE:
+        return s[0]
+    if geom.gtype in (GEOM_CAPSULE, GEOM_CYLINDER):
+        return s[0] + s[1]
+    if geom.gtype == GEOM_BOX:
+        return float(np.linalg.norm(s))
+    return float(np.linalg.norm(s))  # conservative default
+
+
+def geom_min_z_bound(model: RobotModel, geom) -> float:
+    """Conservative lower bound on the geom's reachable world z.
+
+    Climbs the kinematic chain from the geom's body to its subtree root,
+    treating every rotational joint as free to point its child subtree in any
+    direction (so offsets accumulate as radii). A FREE root (floating base)
+    or an unlimited prismatic joint makes everything reachable (-inf). Used
+    to statically prune terrain-contact candidates for geoms that can NEVER
+    reach the ground — e.g. a table-mounted Shadow hand's finger geoms
+    (PhysX's broadphase culls these per-step; our static plan culls them
+    at build time, which is strictly better on TPU: the rows never exist).
+    """
+    from .model import JOINT_FIXED, JOINT_FREE, JOINT_PRISMATIC
+
+    # body -> articulated-dof index (prismatic travel bounds)
+    dof_of_body = {int(b): i for i, b in enumerate(model.dof_body)}
+
+    slack = float(np.linalg.norm(np.asarray(geom.pos, dtype=np.float64)))
+    slack += _geom_bounding_radius(geom)
+    b = int(geom.body)
+    while True:
+        jt = int(model.jnt_type[b])
+        parent = int(model.parent[b])
+        if jt == JOINT_FREE:
+            return -np.inf
+        if jt == JOINT_PRISMATIC:
+            d = dof_of_body.get(b)
+            lo = float(model.dof_limit_lower[d]) if d is not None else -np.inf
+            hi = float(model.dof_limit_upper[d]) if d is not None else np.inf
+            travel = max(abs(lo), abs(hi))
+            if not np.isfinite(travel) or travel > 1e8:
+                return -np.inf
+            slack += travel
+        if parent < 0:
+            # root: its joint frame z is exact (fixed-base world pose lands
+            # in jnt_pos via _apply_fixed_base_pose); body_pos may rotate
+            root_z = float(model.jnt_pos[b][2])
+            if jt != JOINT_FIXED:
+                # revolute/prismatic root: frame orientation still exact,
+                # but the child body offset can swing
+                slack += float(np.linalg.norm(model.body_pos[b]))
+                return root_z - slack
+            slack += float(np.linalg.norm(model.body_pos[b]))
+            return root_z - slack
+        slack += float(np.linalg.norm(model.jnt_pos[b])) + float(
+            np.linalg.norm(model.body_pos[b])
+        )
+        b = parent
+
+
 class CollisionPlan:
     """Static collision plan for one model + terrain config.
 
     Host-built once at env-construction time: enumerates ground candidates per
     geom and the explicit geom-geom pair list; total contact count is static.
+
+    ``ground_z_max``: when given, terrain-contact candidates are statically
+    pruned for geoms whose conservative reachability bound
+    (:func:`geom_min_z_bound`) stays above it — fixed-base arms/hands
+    mounted above the ground lose their phantom ground rows (for the Shadow
+    repose scene this cuts the constraint-row count ~40%).
     """
 
-    def __init__(self, model: RobotModel, pairs=None, with_ground: bool = True):
+    def __init__(self, model: RobotModel, pairs=None, with_ground: bool = True,
+                 ground_z_max: float | None = None):
         self.model = model
         self.with_ground = with_ground
         self.pairs = [
@@ -530,6 +599,12 @@ class CollisionPlan:
         self.ground_geoms = (
             [g for g in model.geoms if g.collidable] if with_ground else []
         )
+        if with_ground and ground_z_max is not None:
+            margin = 0.02
+            self.ground_geoms = [
+                g for g in self.ground_geoms
+                if geom_min_z_bound(model, g) <= ground_z_max + margin
+            ]
         self.ncon = sum(num_ground_candidates(g) for g in self.ground_geoms) + sum(
             num_pair_contacts(ga, gb) for ga, gb in self.pairs
         )

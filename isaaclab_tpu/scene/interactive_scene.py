@@ -205,10 +205,15 @@ class InteractiveScene:
                     for gb in geoms_j:
                         if not _filtered(ni, ga, nj, gb):
                             pairs.append((ga, gb))
+        # flat-plane scenes (terrain None -> plane at z=0) can statically
+        # prune ground candidates for fixed-base subtrees that can never
+        # reach the ground (collision.py geom_min_z_bound); terrain scenes
+        # keep everything (heights vary per cell)
         self.collision_plan = CollisionPlan(
             self.world_model,
             pairs=pairs,
             with_ground=self.terrain is not None or _any_ground_geoms(models),
+            ground_z_max=0.0 if self.terrain is None else None,
         )
         from ..physics.solver import num_limit_rows
 

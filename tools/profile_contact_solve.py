@@ -1,17 +1,19 @@
 #!/usr/bin/env python
 """Per-phase micro-timing of the contact-solve pipeline for a registered task.
 
-Phases timed independently (each as a scanned jitted carry->carry fn):
-  step        : full env step_state
-  physics     : scene.step_physics (decimation x substeps)
-  freedyn     : fused free dynamics only
-  detect      : narrowphase only
-  jac         : contact Jacobian assembly (vmapped)
-  minvjt      : chol_solve_slabs (Delassus half-assembly)
-  apgd_xla    : the APGD loop, pure-XLA path
-  apgd_pallas : the APGD loop, Pallas VMEM-resident kernel (block sweep)
+Times ONLY small isolated programs (the full env step's compile over the
+axon tunnel takes ~15 min at shadow sizes; its end-to-end number comes from
+bench.py instead):
 
-Usage: python tools/profile_contact_solve.py [task_id] [num_envs]
+  physics_substep : scene.step_physics (the whole physics pipeline, once)
+  freedyn         : fused free dynamics only
+  +detect         : free dynamics + narrowphase
+  +jac            : ... + contact Jacobian assembly
+  minvjt          : chol_solve_slabs on fixed operands (Delassus half)
+  apgd_xla        : the APGD loop on fixed operands, pure-XLA
+  apgd_pallas     : same, Pallas VMEM-resident kernel (block-size sweep)
+
+Usage: python tools/profile_contact_solve.py [task_id] [num_envs] [seconds]
 """
 
 import os
@@ -27,12 +29,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+SECONDS = 2.0
 
-def timed(name, fn, carry0, chunk=16, seconds=2.0):
+
+def timed(name, fn, carry0, chunk=16):
+    t_c0 = time.perf_counter()
     run = jax.jit(lambda c: jax.lax.scan(
         lambda cc, _: (fn(cc), None), c, None, length=chunk)[0])
     c = run(carry0)
     jax.device_get(jax.tree.leaves(c)[0].ravel()[0])
+    compile_s = time.perf_counter() - t_c0
     n = 0
     t0 = time.perf_counter()
     while True:
@@ -40,18 +46,22 @@ def timed(name, fn, carry0, chunk=16, seconds=2.0):
         n += 1
         if n % 2 == 0:
             jax.device_get(jax.tree.leaves(c)[0].ravel()[0])
-            if time.perf_counter() - t0 > seconds:
+            if time.perf_counter() - t0 > SECONDS:
                 break
     jax.device_get(jax.tree.leaves(c)[0].ravel()[0])
     dt = time.perf_counter() - t0
     ms = dt / (n * chunk) * 1e3
-    print(f"{name:28s} {ms:9.3f} ms/call", flush=True)
+    print(f"{name:28s} {ms:9.3f} ms/call   (compile {compile_s:.0f}s)",
+          flush=True)
     return ms
 
 
 def main():
+    global SECONDS
     task = sys.argv[1] if len(sys.argv) > 1 else "Isaac-Repose-Cube-Shadow-Direct-v0"
     E = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    if len(sys.argv) > 3:
+        SECONDS = float(sys.argv[3])
 
     import gymnasium as gym
 
@@ -60,8 +70,8 @@ def main():
     from isaaclab_tpu.physics import fused
     from isaaclab_tpu.physics.collision import Contacts
     from isaaclab_tpu.physics.solver import (
-        SolverCfg, contact_jacobians_t, limit_rows_t, limited_dofs,
-        num_limit_rows, solve_constraints_batch,
+        apgd_solve, contact_jacobians_t, limit_rows_t, limited_dofs,
+        num_limit_rows,
     )
     from isaaclab_tpu.tasks.utils import parse_env_cfg
 
@@ -74,113 +84,68 @@ def main():
     ncon = len(ba)
     n_lim = num_limit_rows(model)
     nrows = 3 * ncon + n_lim
+    dec = env.cfg.decimation
     print(f"task={task} E={E} nv={model.nv} nbody={model.nbody} "
-          f"ncon={ncon} n_lim={n_lim} nrows={nrows} "
-          f"decimation={env.cfg.decimation}", flush=True)
+          f"ncon={ncon} n_lim={n_lim} nrows={nrows} decimation={dec}",
+          flush=True)
+    # padded operand sizes: minor dims pad to (8, 128) f32 tiles
+    pad_v = -(-model.nv // 8) * 8
+    pad_r = -(-nrows // 128) * 128
+    mb = E * pad_v * pad_r * 4 / 2**20
+    print(f"J_t/MinvJT padded: (E,{model.nv}->{pad_v},{nrows}->{pad_r}) "
+          f"= {mb:.0f} MiB each; ~29 APGD matvec passes/substep -> "
+          f"{29 * 2 * mb / 1024:.1f} GiB HBM traffic/substep if XLA "
+          f"re-reads them", flush=True)
 
     state0 = jax.jit(env.init_state)(jax.random.PRNGKey(0))
-
-    act_dim = env.action_manager.total_action_dim if hasattr(
-        env, "action_manager") else env.num_actions
-
-    # --- full step ---
-    def full_step(s):
-        a = 0.1 * jnp.sin(jnp.sum(s.scene.phys.q[:, :1], axis=1, keepdims=True))
-        act = jnp.broadcast_to(a, (E, act_dim))
-        s2, _ = env.step_state(s, act)
-        return s2
-
-    timed("env step_state", full_step, state0)
-
-    # --- physics only ---
+    sstate = state0.scene
     dt_phys = env.physics_dt if hasattr(env, "physics_dt") else env.cfg.sim.dt
 
+    # whole physics pipeline, one substep
     def phys_step(ss):
         return sc.step_physics(ss, dt_phys)
 
-    timed("scene.step_physics (1 sub)", phys_step, state0.scene)
+    t_sub = timed("physics_substep", phys_step, sstate, chunk=8)
+    print(f"  -> implied env-step {dec} substeps = {dec * t_sub:.1f} ms "
+          f"({E / (dec * t_sub) * 1e3:,.0f} env-steps/s physics-only)",
+          flush=True)
 
-    # --- build a representative mid-flight state for phase isolation ---
-    s = state0
-    for _ in range(3):
-        s = full_step(s)
-    phys = s.scene.phys
-    params = s.scene.body_params
-
-    engcfg = eng.EngineCfg(dt=dt_phys, solver=sc.sim_cfg.solver_cfg())
+    # settle a few substeps for a representative contact state
+    settle = jax.jit(lambda ss: sc.step_physics(ss, dt_phys))
+    for _ in range(5):
+        sstate = settle(sstate)
+    phys = sstate.phys
+    params = sstate.body_params
     terrain = sc.height_field
-    toff = s.scene.terrain_offsets
+    toff = sstate.terrain_offsets
     if toff is None:
         toff = jnp.asarray(sc.terrain_offsets(), dtype=jnp.float32)
 
-    q_idx = jnp.asarray([int(model.q_start[b]) for b in model.dof_body])
-    v_idx = jnp.asarray(model.dof_v_index)
+    tau_v = jnp.zeros((E, model.nv))
+    grav = tuple(params.gravity[:, i] for i in range(3))
 
-    # free dynamics
     def freedyn(q):
-        tau_v = jnp.zeros((E, model.nv))
         dyn = fused.free_dynamics_batch(
-            model, q, phys.qd, tau_v, params, dt_phys,
-            tuple(params.gravity[:, i] for i in range(3)),
-        )
+            model, q, phys.qd, tau_v, params, dt_phys, grav)
         return q + 1e-12 * dyn.v_free[:, :1] * 0
 
-    timed("free_dynamics_batch", freedyn, phys.q)
+    timed("freedyn", freedyn, phys.q, chunk=8)
 
-    tau_v = jnp.zeros((E, model.nv))
-    dyn = jax.jit(lambda q: fused.free_dynamics_batch(
-        model, q, phys.qd, tau_v, params, dt_phys,
-        tuple(params.gravity[:, i] for i in range(3))))(phys.q)
-    kin = dyn.kin
-
-    # detect
-    def detect(q):
-        dyn2 = fused.free_dynamics_batch(
-            model, q, phys.qd, tau_v, params, dt_phys,
-            tuple(params.gravity[:, i] for i in range(3)),
-        )
-        def _d(kin_e, off):
-            c = plan.detect(kin_e, terrain, off)
-            return c.depth
-        if toff is None:
-            dep = jax.vmap(lambda k: _d(k, None))(dyn2.kin)
-        else:
-            dep = jax.vmap(_d)(dyn2.kin, toff)
-        return q + 1e-12 * dep[:, :1] * 0
-
-    t_fd = timed("freedyn + detect", detect, phys.q)
-
-    # full solve phase (everything solve_constraints_batch does)
     def _mk_contacts(kin_b):
         def _d(kin_e, off):
             c = plan.detect(kin_e, terrain, off)
             return c.pos, c.normal, c.depth, c.friction, c.restitution
-        if toff is None:
-            pos, nrm, dep, fr, re = jax.vmap(lambda k: _d(k, None))(kin_b)
-        else:
-            pos, nrm, dep, fr, re = jax.vmap(_d)(kin_b, toff)
+        pos, nrm, dep, fr, re = jax.vmap(_d)(kin_b, toff)
         return Contacts(pos=pos, normal=nrm, depth=dep, body_a=ba, body_b=bb,
                         friction=fr, restitution=re)
 
-    def solve_all(q):
-        dyn2 = fused.free_dynamics_batch(
-            model, q, phys.qd, tau_v, params, dt_phys,
-            tuple(params.gravity[:, i] for i in range(3)),
-        )
-        contacts = _mk_contacts(dyn2.kin)
-        q_arts = q[:, q_idx] if model.nu else jnp.zeros((E, 0))
-        res = solve_constraints_batch(
-            model, dyn2.kin, dyn2.L, dyn2.v_free, contacts, q_arts,
-            dt_phys, engcfg.solver,
-            limit_lower=params.limit_lower, limit_upper=params.limit_upper,
-            warm_lambda=phys.warm_lambda,
-        )
-        return q + 1e-12 * res.qd[:, :1] * 0
+    def detect(q):
+        dyn = fused.free_dynamics_batch(
+            model, q, phys.qd, tau_v, params, dt_phys, grav)
+        con = _mk_contacts(dyn.kin)
+        return q + 1e-12 * con.depth[:, :1] * 0
 
-    timed("freedyn+detect+solve", solve_all, phys.q)
-
-    # --- isolated solver internals on fixed operands ---
-    contacts = jax.jit(_mk_contacts)(kin)
+    timed("freedyn+detect", detect, phys.q, chunk=8)
 
     def _jac(kin_e, pos, normal):
         con = Contacts(pos=pos, normal=normal, depth=pos[:, 0],
@@ -188,28 +153,34 @@ def main():
         return contact_jacobians_t(model, kin_e, con)
 
     def jac_only(q):
-        dyn2 = fused.free_dynamics_batch(
-            model, q, phys.qd, tau_v, params, dt_phys,
-            tuple(params.gravity[:, i] for i in range(3)),
-        )
-        contacts2 = _mk_contacts(dyn2.kin)
-        J_t = jax.vmap(_jac)(dyn2.kin, contacts2.pos, contacts2.normal)
+        dyn = fused.free_dynamics_batch(
+            model, q, phys.qd, tau_v, params, dt_phys, grav)
+        con = _mk_contacts(dyn.kin)
+        J_t = jax.vmap(_jac)(dyn.kin, con.pos, con.normal)
         return q + 1e-12 * J_t[:, 0, :1] * 0
 
-    timed("freedyn+detect+jacassembly", jac_only, phys.q)
+    timed("freedyn+detect+jac", jac_only, phys.q, chunk=8)
 
+    # fixed operands for the solver internals
+    dyn = jax.jit(lambda q: fused.free_dynamics_batch(
+        model, q, phys.qd, tau_v, params, dt_phys, grav))(phys.q)
+    kin = dyn.kin
+    L_comps = dyn.L
+    contacts = jax.jit(_mk_contacts)(kin)
     J_t = jax.jit(jax.vmap(_jac))(kin, contacts.pos, contacts.normal)
     if n_lim:
         J_t = jnp.concatenate([
-            J_t, jnp.broadcast_to(jnp.asarray(limit_rows_t(model), J_t.dtype)[None],
-                                  (E, model.nv, n_lim))], axis=2)
-    L_comps = dyn.L
+            J_t,
+            jnp.broadcast_to(
+                jnp.asarray(limit_rows_t(model), J_t.dtype)[None],
+                (E, model.nv, n_lim)),
+        ], axis=2)
 
     def minvjt_only(Jt):
         M = fused.chol_solve_slabs(L_comps, Jt)
         return Jt + 1e-12 * M[:, :1, :1] * 0
 
-    timed("chol_solve_slabs (MinvJT)", minvjt_only, J_t)
+    timed("minvjt (chol slabs)", minvjt_only, J_t, chunk=8)
 
     MinvJT = jax.jit(lambda Jt: fused.chol_solve_slabs(L_comps, Jt))(J_t)
     diag = jnp.clip(jnp.einsum("evr,evr->er", J_t, MinvJT), 1e-8, None)
@@ -219,8 +190,9 @@ def main():
         jnp.ones((E, n_lim), bool)], axis=1).astype(J_t.dtype)
     mu = contacts.friction
     lam0 = jnp.zeros((E, nrows))
-
-    from isaaclab_tpu.physics.solver import apgd_solve
+    n_touch = int(jnp.sum(contacts.depth > 0)) / E
+    print(f"  active contacts/env after settle: {n_touch:.1f}/{ncon}",
+          flush=True)
 
     def apgd_xla(b):
         lam = jax.vmap(
@@ -229,21 +201,23 @@ def main():
         )(J_t, MinvJT, b, diag, row_active, mu, lam0)
         return b + 1e-12 * lam[:, :1] * 0
 
-    timed("apgd 16it (XLA)", apgd_xla, b_vec)
+    timed("apgd 16it (XLA)", apgd_xla, b_vec, chunk=8)
 
     from isaaclab_tpu.physics.pallas_solver import apgd_solve_batched
 
     if jax.default_backend() in ("tpu", "axon"):
-        for be in (64, 128, 256, 512):
+        for be in (int(x) for x in os.environ.get(
+                "PROFILE_BE", "64,128,256").split(",")):
             try:
                 def apgd_pl(b, be=be):
                     lam = apgd_solve_batched(
                         J_t, MinvJT, b, diag, row_active, mu, lam0,
                         ncon=ncon, iterations=16, block_envs=be)
                     return b + 1e-12 * lam[:, :1] * 0
-                timed(f"apgd 16it (pallas BE={be})", apgd_pl, b_vec)
+                timed(f"apgd 16it (pallas BE={be})", apgd_pl, b_vec, chunk=8)
             except Exception as ex:
-                print(f"pallas BE={be} failed: {type(ex).__name__}: {str(ex)[:200]}")
+                print(f"pallas BE={be} failed: {type(ex).__name__}: "
+                      f"{str(ex)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
