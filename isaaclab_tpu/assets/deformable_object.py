@@ -47,17 +47,22 @@ class DeformableObject:
         self.num_particles = model.rest_pos.shape[0]
 
     # scene-entity contract -------------------------------------------------
-    def init_entity_state(self, num_envs: int, env_origins) -> SoftBodyState:
+    def init_entity_state(self, num_envs: int, env_origins,
+                          nbody: int = 0) -> SoftBodyState:
         origin = jnp.asarray(self.cfg.init_state.pos)
-        state = init_soft_state(self.model, num_envs, origin)
+        state = init_soft_state(self.model, num_envs, origin, nbody=nbody)
         return state._replace(pos=state.pos + env_origins[:, None, :])
 
-    def step(self, est: SoftBodyState, dt: float, colliders=None) -> SoftBodyState:
-        return step_soft_body(self.model, est, dt, colliders=colliders)
+    def step(self, est: SoftBodyState, dt: float, colliders=None,
+             nbody: int = 0) -> SoftBodyState:
+        return step_soft_body(self.model, est, dt, colliders=colliders,
+                              nbody=nbody)
 
     def reset_to_default(self, est: SoftBodyState, num_envs, env_origins,
                          env_mask=None) -> SoftBodyState:
-        fresh = self.init_entity_state(num_envs, env_origins)
+        nbody = est.reaction_wrench.shape[1] if (
+            est.reaction_wrench is not None) else 0
+        fresh = self.init_entity_state(num_envs, env_origins, nbody=nbody)
         if env_mask is None:
             return fresh
         m = env_mask[:, None, None]
@@ -67,6 +72,9 @@ class DeformableObject:
             kinematic_target=jnp.where(
                 m, fresh.kinematic_target, est.kinematic_target
             ),
+            reaction_wrench=jnp.where(
+                m, fresh.reaction_wrench, est.reaction_wrench
+            ) if est.reaction_wrench is not None else None,
         )
 
     # write API (reference deformable_object.py) ----------------------------

@@ -40,6 +40,10 @@ class SoftBodyState(NamedTuple):
     pos: jnp.ndarray  # (E, P, 3) world
     vel: jnp.ndarray  # (E, P, 3)
     kinematic_target: jnp.ndarray  # (E, P, 4): xyz target + enable flag
+    # (E, nbody_world, 6) reaction wrench [torque, force] the particles
+    # exert on rigid bodies (two-way coupling; applied to the rigid solve
+    # on the NEXT substep — explicit weak coupling, one-step lag)
+    reaction_wrench: jnp.ndarray = None
 
 
 def make_soft_cube(size=(0.1, 0.1, 0.1), resolution=3, mass=0.1,
@@ -86,7 +90,8 @@ def make_soft_cube(size=(0.1, 0.1, 0.1), resolution=3, mass=0.1,
     )
 
 
-def init_soft_state(model: SoftBodyModel, num_envs: int, origin) -> SoftBodyState:
+def init_soft_state(model: SoftBodyModel, num_envs: int, origin,
+                    nbody: int = 0) -> SoftBodyState:
     pos = jnp.asarray(model.rest_pos)[None] + jnp.asarray(origin)[None, None]
     pos = jnp.tile(pos, (num_envs, 1, 1))
     return SoftBodyState(
@@ -95,16 +100,23 @@ def init_soft_state(model: SoftBodyModel, num_envs: int, origin) -> SoftBodyStat
         kinematic_target=jnp.concatenate(
             [pos, jnp.zeros(pos.shape[:-1] + (1,))], axis=-1
         ),
+        reaction_wrench=jnp.zeros((num_envs, nbody, 6)),
     )
 
 
-def collide_particles_with_geoms(pred, pos_prev, colliders, friction):
+def collide_particles_with_geoms(pred, pos_prev, colliders, friction,
+                                 inv_mass=None, dt=None):
     """Project particles out of rigid colliders; friction vs collider motion.
 
     ``pred``: (E, P, 3) predicted positions; ``pos_prev``: (E, P, 3) start
     positions; ``colliders``: list of (gtype, size, pos_prev, quat_prev,
-    pos_now, quat_now) with per-env (E, 3)/(E, 4) poses. Returns corrected
-    positions. One-way: the collider is kinematic from the particles' view.
+    pos_now, quat_now[, body_idx, body_pos_w]) with per-env (E, 3)/(E, 4)
+    poses. Returns corrected positions, or — when ``inv_mass``/``dt`` are
+    given and colliders carry body info — ``(positions, reactions)`` where
+    reactions is a list of (body_idx, (E, 6) [torque, force]) wrenches the
+    particles exert back on each collider body (two-way coupling: f =
+    m * dx / dt^2, the position-level impulse the pushout applied, reversed;
+    a resting particle contributes exactly its weight).
     """
     from ..utils import math as mu
     from .model import GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE
@@ -139,7 +151,12 @@ def collide_particles_with_geoms(pred, pos_prev, colliders, friction):
         raise NotImplementedError(f"soft contact vs geom type {gtype}")
 
     out = pred
-    for gtype, size, g_pos_prev, g_quat_prev, g_pos_now, g_quat_now in colliders:
+    reactions = []
+    want_wrench = inv_mass is not None and dt is not None
+    for col in colliders:
+        gtype, size, g_pos_prev, g_quat_prev, g_pos_now, g_quat_now = col[:6]
+        body_idx = col[6] if len(col) > 6 else None
+        body_pos_w = col[7] if len(col) > 7 else None
         local = mu.quat_apply_inverse(
             g_quat_now[:, None], out - g_pos_now[:, None]
         )
@@ -162,17 +179,36 @@ def collide_particles_with_geoms(pred, pos_prev, colliders, friction):
         t_norm = jnp.linalg.norm(rel_t + 1e-9, axis=-1, keepdims=True)
         stick = jnp.minimum(friction * pen / t_norm, 1.0)
         corrected = pushed - rel_t * stick
-        out = jnp.where(pen > 0.0, corrected, out)
+        new_out = jnp.where(pen > 0.0, corrected, out)
+        if want_wrench and body_idx is not None:
+            # particle force = m * dx / dt^2 (position-level pushout as an
+            # impulse over the step); reaction on the body is its negative.
+            # Kinematic particles (inv_mass 0) carry no finite mass: skip.
+            m_p = jnp.where(inv_mass > 0.0, 1.0 / jnp.maximum(inv_mass, 1e-9),
+                            0.0)[None, :, None]
+            dx = new_out - out  # (E, P, 3)
+            f_p = m_p * dx / (dt * dt)
+            F = -jnp.sum(f_p, axis=1)  # (E, 3) force on body
+            arm = new_out - body_pos_w[:, None]
+            tau = -jnp.sum(jnp.cross(arm, f_p), axis=1)
+            reactions.append((body_idx, jnp.concatenate([tau, F], axis=-1)))
+        out = new_out
+    if want_wrench:
+        return out, reactions
     return out
 
 
 def step_soft_body(model: SoftBodyModel, state: SoftBodyState, dt: float,
                    gravity=(-0.0, 0.0, -9.81), iterations: int = 8,
-                   relaxation: float = 0.35, colliders=None) -> SoftBodyState:
+                   relaxation: float = 0.35, colliders=None,
+                   nbody: int = 0) -> SoftBodyState:
     """One XPBD substep: predict -> Jacobi constraint projection -> rigid
     collider pushout -> ground contact -> velocity update. All shapes
     static; jit/vmap friendly. ``colliders``: see
-    :func:`collide_particles_with_geoms` (None = terrain only).."""
+    :func:`collide_particles_with_geoms` (None = terrain only). When
+    colliders carry body info and ``nbody`` > 0, the returned state's
+    ``reaction_wrench`` holds the (E, nbody, 6) wrench the particles exert
+    on rigid bodies (consumed by the scene on the next rigid substep)."""
     g = jnp.asarray(gravity)
     inv_m = jnp.asarray(model.inv_mass)[None, :, None]  # (1, P, 1)
     e0 = jnp.asarray(model.edges[:, 0])
@@ -206,10 +242,22 @@ def step_soft_body(model: SoftBodyModel, state: SoftBodyState, dt: float,
 
     pred, _ = jax.lax.scan(solve_iter, pred, None, length=iterations)
 
+    E = pred.shape[0]
+    wrench = (
+        jnp.zeros((E, nbody, 6)) if nbody else state.reaction_wrench
+    )
     if colliders:
-        pred = collide_particles_with_geoms(
-            pred, state.pos, colliders, model.friction
+        res = collide_particles_with_geoms(
+            pred, state.pos, colliders, model.friction,
+            inv_mass=jnp.asarray(model.inv_mass), dt=dt,
         )
+        if isinstance(res, tuple):
+            pred, reactions = res
+            if nbody:
+                for body_idx, w in reactions:
+                    wrench = wrench.at[:, body_idx].add(w)
+        else:
+            pred = res
 
     # ground plane z=0 with Coulomb friction
     below = pred[..., 2] < 0.0
@@ -231,4 +279,4 @@ def step_soft_body(model: SoftBodyModel, state: SoftBodyState, dt: float,
 
     new_vel = (pred - state.pos) / dt
     new_vel = jnp.where(kin_on > 0.5, 0.0, new_vel)
-    return state._replace(pos=pred, vel=new_vel)
+    return state._replace(pos=pred, vel=new_vel, reaction_wrench=wrench)

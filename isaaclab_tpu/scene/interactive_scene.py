@@ -293,7 +293,10 @@ class InteractiveScene:
             entities[name] = est
 
         for name, soft in self.deformable_objects.items():
-            entities[name] = soft.init_entity_state(E, origins)
+            # colliding soft bodies carry an (E, nbody, 6) reaction-wrench
+            # buffer for two-way coupling (constant pytree shape for scan)
+            nb = wm.nbody if getattr(soft.cfg, "collide_with", None) else 0
+            entities[name] = soft.init_entity_state(E, origins, nbody=nb)
 
         state = SceneState(
             phys=phys, body_params=params, entities=entities, sensors={},
@@ -415,13 +418,26 @@ class InteractiveScene:
             else self.terrain_offsets()
         )
 
+        # two-way soft coupling: reaction wrenches the particles exerted on
+        # rigid bodies LAST substep enter this substep's external forces
+        # (explicit weak coupling; physics/soft_body.py)
+        soft_react = None
+        for name, soft in self.deformable_objects.items():
+            rw = getattr(state.entities[name], "reaction_wrench", None)
+            if rw is not None and rw.ndim == 3 and rw.shape[1] == wm.nbody:
+                soft_react = rw if soft_react is None else soft_react + rw
+        phys_in = (
+            state.phys._replace(f_ext_w=state.phys.f_ext_w + soft_react)
+            if soft_react is not None else state.phys
+        )
+
         if wm.nbody > 0:
             if eng.use_fused_path():
                 # batch-last fused path: ~10x the vmap(step) throughput on
                 # TPU (physics/fused.py); equivalence in
                 # tests/test_fused_dynamics.py
                 new_phys, _, _ = eng.step_batch(
-                    wm, self.collision_plan, state.phys, drive,
+                    wm, self.collision_plan, phys_in, drive,
                     state.body_params, cfg, terrain=terrain,
                     terrain_offset=offsets,
                 )
@@ -436,8 +452,12 @@ class InteractiveScene:
                     return new_phys
 
                 new_phys = jax.vmap(one_env)(
-                    state.phys, drive, state.body_params, offsets
+                    phys_in, drive, state.body_params, offsets
                 )
+            if soft_react is not None:
+                # restore the user-facing external-wrench buffer (the soft
+                # reaction is transient, not an accumulating user write)
+                new_phys = new_phys._replace(f_ext_w=state.phys.f_ext_w)
         else:  # soft-only scene: nothing rigid to solve
             new_phys = state.phys
         # XPBD soft bodies step alongside the rigid solve. One-way
@@ -462,7 +482,8 @@ class InteractiveScene:
                     soft.cfg.collide_with, kin_old, kin_new
                 )
             new_entities[name] = soft.step(
-                new_entities[name], dt, colliders=colliders
+                new_entities[name], dt, colliders=colliders,
+                nbody=wm.nbody if colliders else 0,
             )
         return state._replace(phys=new_phys, entities=new_entities)
 
@@ -494,7 +515,9 @@ class InteractiveScene:
                 p1, q1 = world(kin_new)
                 out.append(
                     (g.gtype, np.asarray(g.size, dtype=np.float32),
-                     p0, q0, p1, q1)
+                     p0, q0, p1, q1,
+                     # body info for two-way coupling reactions
+                     int(g.body), kin_new.body_pos_w[:, g.body])
                 )
         return out
 
