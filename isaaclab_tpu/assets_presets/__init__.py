@@ -21,3 +21,10 @@ from .unitree import (  # noqa: F401
 )
 from .universal_robots import UR10_CFG  # noqa: F401
 from .allegro import ALLEGRO_HAND_CFG  # noqa: F401
+from .kinova import (  # noqa: F401
+    KINOVA_GEN3_N7_CFG,
+    KINOVA_JACO2_N6S300_CFG,
+    KINOVA_JACO2_N7S300_CFG,
+)
+from .sawyer import SAWYER_CFG  # noqa: F401
+from .ridgeback_franka import RIDGEBACK_FRANKA_PANDA_CFG  # noqa: F401

@@ -15,3 +15,12 @@ from .stream_devices import (  # noqa: F401
     Se3Gamepad,
     Se3SpaceMouse,
 )
+from .retargeter_base import RetargeterBase  # noqa: F401
+from .hand_tracking import (  # noqa: F401
+    HAND_JOINT_NAMES,
+    GripperRetargeter,
+    HandTrackingDevice,
+    Se3AbsRetargeter,
+    Se3RelRetargeter,
+    TrackingTarget,
+)

@@ -609,6 +609,17 @@ class CollisionPlan:
             num_pair_contacts(ga, gb) for ga, gb in self.pairs
         )
 
+    def candidate_geoms(self):
+        """Per-candidate (geom_a, geom_b | None) in detect()'s emission
+        order (ground candidates first, then pairs) — lets callers build
+        per-env candidate masks (sim/spawners.py multi-asset selection)."""
+        out = []
+        for g in self.ground_geoms:
+            out += [(g, None)] * num_ground_candidates(g)
+        for ga, gb in self.pairs:
+            out += [(ga, gb)] * num_pair_contacts(ga, gb)
+        return out
+
     def static_bodies(self):
         """Static (body_a, body_b) index arrays in detect()'s emission order
         (used by the batch-level step to reattach static metadata to the

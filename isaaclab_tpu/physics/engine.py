@@ -90,6 +90,11 @@ class BodyParams(NamedTuple):
     # world gravity, per-env randomizable (reference
     # events.py:randomize_physics_scene_gravity); (3,)
     gravity: jnp.ndarray
+    # per-env contact-candidate activation: scalar 1.0 (all active) or
+    # (ncon,) 0/1 — the TPU answer to per-env asset selection (multi-asset
+    # random spawn, reference sim/spawners/wrappers/) and per-env collision
+    # filtering: inactive candidates are forced to depth -1
+    cand_active: jnp.ndarray = None
 
     @staticmethod
     def from_model(model: RobotModel, gravity=(0.0, 0.0, -9.81)) -> "BodyParams":
@@ -110,6 +115,7 @@ class BodyParams(NamedTuple):
             tendon_rest_length=jnp.asarray(model.tendon_rest_length),
             tendon_offset=jnp.asarray(model.tendon_offset),
             gravity=jnp.asarray(gravity, dtype=jnp.float32),
+            cand_active=jnp.asarray(1.0),
         )
 
 
@@ -260,6 +266,12 @@ def step(
 
     contacts = plan.detect(kin, terrain, terrain_offset)
     contacts = contacts._replace(friction=contacts.friction * params.friction_scale)
+    if params.cand_active is not None:
+        # per-env candidate activation (multi-asset selection / filtering):
+        # inactive candidates read as separated
+        contacts = contacts._replace(
+            depth=jnp.where(params.cand_active > 0.5, contacts.depth, -1.0)
+        )
 
     result = solve_constraints(
         model,
@@ -415,6 +427,10 @@ def step_batch(
         pos, nrm, dep, fr, re = jax.vmap(_detect)(kin, terrain_offset)
     body_a, body_b = plan.static_bodies()
     fscale = jnp.reshape(params.friction_scale, (-1, 1))  # (E, 1) or (1, 1)
+    if params.cand_active is not None:
+        ca = params.cand_active
+        ca = ca[:, None] if ca.ndim == 1 else ca  # (E, 1) or (E, ncon)
+        dep = jnp.where(ca > 0.5, dep, -1.0)
     contacts = Contacts(
         pos=pos, normal=nrm, depth=dep, body_a=body_a, body_b=body_b,
         friction=fr * fscale, restitution=re,

@@ -137,13 +137,24 @@ class InteractiveScene:
             self.terrain = TerrainImporter(terrain_cfg[1], self.num_envs)
 
         # --- build entity models ---
+        from ..sim.spawners import MultiAssetCfg, build_union_model, choose_variants
+
         models, names, facades = [], [], []
+        self._multi_asset: dict = {}  # entity name -> (geom_variant_of, choices, variants)
         for name, ecfg in entity_cfgs.items():
-            model = (
-                _resolve_model(ecfg.model)
-                if not isinstance(ecfg, RigidObjectCollectionCfg)
-                else None
-            )
+            if (not isinstance(ecfg, RigidObjectCollectionCfg)
+                    and isinstance(ecfg.model, MultiAssetCfg)):
+                # multi-asset random spawn: union model + static per-env
+                # variant choice (sim/spawners.py)
+                model, _geom_variant, variants = build_union_model(ecfg.model)
+                choices = choose_variants(ecfg.model, self.num_envs)
+                self._multi_asset[name] = (choices, variants)
+            else:
+                model = (
+                    _resolve_model(ecfg.model)
+                    if not isinstance(ecfg, RigidObjectCollectionCfg)
+                    else None
+                )
             if isinstance(ecfg, ArticulationCfg) and not model.floating_base:
                 # fixed-base world placement: bake cfg.init_state pose into
                 # the root joint frame (floating bases get it via q instead)
@@ -219,6 +230,17 @@ class InteractiveScene:
 
         self.n_lim_rows = num_limit_rows(self.world_model)
 
+        # multi-asset per-env candidate activation (spawn-time static)
+        self._cand_env_mask = None
+        if self._multi_asset:
+            from ..sim.spawners import candidate_mask
+
+            slc = [
+                ((self.slices[n].body_start, self.slices[n].body_count), ch)
+                for n, (ch, _v) in self._multi_asset.items()
+            ]
+            self._cand_env_mask = candidate_mask(self.collision_plan, slc)
+
         # --- sensors ---
         for name, scfg in sensor_cfgs.items():
             self.sensors[name] = scfg.class_type(scfg, self)
@@ -280,6 +302,22 @@ class InteractiveScene:
             wm, gravity=tuple(self.sim_cfg.gravity)
         )
         params = jax.tree.map(lambda x: jnp.tile(x, (E,) + (1,) * x.ndim), params)
+        # multi-asset spawn: per-env candidate activation + chosen-variant
+        # body params (sim/spawners.py)
+        if self._cand_env_mask is not None:
+            params = params._replace(
+                cand_active=jnp.asarray(self._cand_env_mask)
+            )
+        for name, (choices, variants) in self._multi_asset.items():
+            from ..sim.spawners import variant_body_params
+
+            b0 = self.slices[name].body_start
+            mass_v, inertia_v, com_v = variant_body_params(variants, choices)
+            params = params._replace(
+                mass=params.mass.at[:, b0].set(jnp.asarray(mass_v)),
+                inertia=params.inertia.at[:, b0].set(jnp.asarray(inertia_v)),
+                com=params.com.at[:, b0].set(jnp.asarray(com_v)),
+            )
 
         entities = {}
         origins = self.env_origins
