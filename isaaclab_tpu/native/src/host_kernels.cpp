@@ -129,4 +129,151 @@ void hf_limit_slope(float* hf, int64_t rows, int64_t cols, float max_step,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Triangle mesh -> signed-distance grid.
+//
+// The reference's factory tasks run SDF mesh collision inside PhysX
+// (direct/factory: nut/bolt/peg meshes with ~0.1 mm clearances). The TPU
+// equivalent precomputes a dense SDF voxel grid once on host; runtime
+// queries are trilinear gathers (physics/sdf.py). Unsigned distance is the
+// exact point-triangle distance minimized over all triangles; sign comes
+// from z-ray crossing parity per (x, y) grid column (watertight meshes).
+//
+// verts: (nv, 3) float32, tris: (nt, 3) int32, out: (nx*ny*nz) float32
+// laid out x-major (ix*ny*nz + iy*nz + iz). Grid point (ix,iy,iz) =
+// origin + spacing * (ix, iy, iz).
+// ---------------------------------------------------------------------------
+static inline float dot3(const float* a, const float* b) {
+  return a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+}
+
+static float point_tri_dist2(const float* p, const float* a, const float* b,
+                             const float* c) {
+  // Ericson, Real-Time Collision Detection 5.1.5 (closest point on triangle)
+  float ab[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+  float ac[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+  float ap[3] = {p[0] - a[0], p[1] - a[1], p[2] - a[2]};
+  float d1 = dot3(ab, ap), d2 = dot3(ac, ap);
+  float qx, qy, qz;
+  if (d1 <= 0.f && d2 <= 0.f) {
+    qx = a[0]; qy = a[1]; qz = a[2];
+  } else {
+    float bp[3] = {p[0] - b[0], p[1] - b[1], p[2] - b[2]};
+    float d3 = dot3(ab, bp), d4 = dot3(ac, bp);
+    if (d3 >= 0.f && d4 <= d3) {
+      qx = b[0]; qy = b[1]; qz = b[2];
+    } else {
+      float vc = d1 * d4 - d3 * d2;
+      if (vc <= 0.f && d1 >= 0.f && d3 <= 0.f) {
+        float v = d1 / (d1 - d3);
+        qx = a[0] + v * ab[0]; qy = a[1] + v * ab[1]; qz = a[2] + v * ab[2];
+      } else {
+        float cp[3] = {p[0] - c[0], p[1] - c[1], p[2] - c[2]};
+        float d5 = dot3(ab, cp), d6 = dot3(ac, cp);
+        if (d6 >= 0.f && d5 <= d6) {
+          qx = c[0]; qy = c[1]; qz = c[2];
+        } else {
+          float vb = d5 * d2 - d1 * d6;
+          if (vb <= 0.f && d2 >= 0.f && d6 <= 0.f) {
+            float w = d2 / (d2 - d6);
+            qx = a[0] + w * ac[0]; qy = a[1] + w * ac[1]; qz = a[2] + w * ac[2];
+          } else {
+            float va = d3 * d6 - d5 * d4;
+            if (va <= 0.f && (d4 - d3) >= 0.f && (d5 - d6) >= 0.f) {
+              float w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+              qx = b[0] + w * (c[0] - b[0]);
+              qy = b[1] + w * (c[1] - b[1]);
+              qz = b[2] + w * (c[2] - b[2]);
+            } else {
+              float denom = 1.f / (va + vb + vc);
+              float v = vb * denom, w = vc * denom;
+              qx = a[0] + ab[0] * v + ac[0] * w;
+              qy = a[1] + ab[1] * v + ac[1] * w;
+              qz = a[2] + ab[2] * v + ac[2] * w;
+            }
+          }
+        }
+      }
+    }
+  }
+  float dx = p[0] - qx, dy = p[1] - qy, dz = p[2] - qz;
+  return dx * dx + dy * dy + dz * dz;
+}
+
+void sdf_from_mesh(const float* verts, int64_t nv, const int32_t* tris,
+                   int64_t nt, float* out, int64_t nx, int64_t ny, int64_t nz,
+                   float ox, float oy, float oz, float spacing) {
+  (void)nv;
+  // Per-triangle AABBs once
+  std::vector<float> tmin(3 * nt), tmax(3 * nt);
+  for (int64_t t = 0; t < nt; ++t) {
+    const float* a = verts + 3 * tris[3 * t + 0];
+    const float* b = verts + 3 * tris[3 * t + 1];
+    const float* c = verts + 3 * tris[3 * t + 2];
+    for (int k = 0; k < 3; ++k) {
+      tmin[3 * t + k] = std::min({a[k], b[k], c[k]});
+      tmax[3 * t + k] = std::max({a[k], b[k], c[k]});
+    }
+  }
+  // Column-parity sign: for each (ix, iy) column collect triangle z-crossings
+  // of the vertical ray, then walk iz upward flipping inside/outside.
+  // The parity ray is jittered by an irrational sub-voxel offset: grid
+  // columns frequently lie EXACTLY on mesh edges (procedural meshes share
+  // the grid's axes), where the half-open edge rule miscounts crossings and
+  // flips whole columns inside-out. The ~1e-3-voxel shift misclassifies
+  // only a micron-scale shell at vertical walls.
+  const float jx = 7.07e-4f * spacing, jy = 3.33e-4f * spacing;
+  std::vector<float> crossings;
+  for (int64_t ix = 0; ix < nx; ++ix) {
+    float px = ox + spacing * (float)ix + jx;
+    for (int64_t iy = 0; iy < ny; ++iy) {
+      float py = oy + spacing * (float)iy + jy;
+      crossings.clear();
+      for (int64_t t = 0; t < nt; ++t) {
+        if (px < tmin[3 * t] || px > tmax[3 * t] || py < tmin[3 * t + 1] ||
+            py > tmax[3 * t + 1])
+          continue;
+        const float* a = verts + 3 * tris[3 * t + 0];
+        const float* b = verts + 3 * tris[3 * t + 1];
+        const float* c = verts + 3 * tris[3 * t + 2];
+        float d = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1]);
+        if (std::fabs(d) < 1e-14f) continue;
+        float w0 = ((b[1] - c[1]) * (px - c[0]) + (c[0] - b[0]) * (py - c[1])) / d;
+        float w1 = ((c[1] - a[1]) * (px - a[0]) + (a[0] - c[0]) * (py - a[1])) / d;
+        float w2 = 1.f - w0 - w1;
+        // half-open edge rule to avoid double counts on shared edges
+        if (w0 >= 0.f && w1 >= 0.f && w2 > 0.f) {
+          crossings.push_back(w0 * a[2] + w1 * b[2] + w2 * c[2]);
+        }
+      }
+      std::sort(crossings.begin(), crossings.end());
+      size_t ci = 0;
+      bool inside = false;
+      for (int64_t iz = 0; iz < nz; ++iz) {
+        float pz = oz + spacing * (float)iz;
+        while (ci < crossings.size() && crossings[ci] < pz) {
+          inside = !inside;
+          ++ci;
+        }
+        float p[3] = {px, py, pz};
+        float best = 1e30f;
+        for (int64_t t = 0; t < nt; ++t) {
+          // AABB reject against current best radius
+          float r = std::sqrt(best);
+          if (p[0] < tmin[3 * t] - r || p[0] > tmax[3 * t] + r ||
+              p[1] < tmin[3 * t + 1] - r || p[1] > tmax[3 * t + 1] + r ||
+              p[2] < tmin[3 * t + 2] - r || p[2] > tmax[3 * t + 2] + r)
+            continue;
+          float d2 = point_tri_dist2(p, verts + 3 * tris[3 * t],
+                                     verts + 3 * tris[3 * t + 1],
+                                     verts + 3 * tris[3 * t + 2]);
+          if (d2 < best) best = d2;
+        }
+        float dist = std::sqrt(best);
+        out[(ix * ny + iy) * nz + iz] = inside ? -dist : dist;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -24,9 +24,14 @@ from .model import (
     GEOM_BOX,
     GEOM_CAPSULE,
     GEOM_CYLINDER,
+    GEOM_MESH,
     GEOM_SPHERE,
     RobotModel,
 )
+
+# mesh ground probes: the first K farthest-point-spread surface samples
+# (physics/sdf.surface_points_from_mesh orders by coverage)
+_MESH_GROUND_PROBES = 12
 
 
 class HeightField(NamedTuple):
@@ -168,10 +173,19 @@ def _ground_candidates_for_geom(geom, pos, quat, terrain):
         )
         corners = pos[None, :] + math_utils.quat_apply(quat[None, :], corners_local)
         return corners, jnp.zeros(8)
+    if geom.gtype == GEOM_MESH:
+        k = min(_MESH_GROUND_PROBES, geom.mesh.surface_points.shape[0])
+        local = jnp.asarray(geom.mesh.surface_points[:k])
+        pts = pos[None, :] + math_utils.quat_apply(
+            jnp.broadcast_to(quat, (k, 4)), local
+        )
+        return pts, jnp.zeros(k)
     raise NotImplementedError(f"ground contact for geom type {geom.gtype}")
 
 
 def num_ground_candidates(geom) -> int:
+    if geom.gtype == GEOM_MESH:
+        return min(_MESH_GROUND_PROBES, geom.mesh.surface_points.shape[0])
     return {GEOM_SPHERE: 1, GEOM_CAPSULE: 2, GEOM_CYLINDER: 2, GEOM_BOX: 8}[geom.gtype]
 
 
@@ -386,13 +400,116 @@ def capsule_capsule_contacts(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
 _CAPSULE_LIKE = (GEOM_CAPSULE, GEOM_CYLINDER)
 
 
+def _has_sdf(geom) -> bool:
+    return geom.gtype == GEOM_MESH and geom.mesh.sdf is not None
+
+
+def _sample_points_local(geom) -> np.ndarray:
+    """Local-frame surface sample points of the QUERY side of an SDF pair."""
+    from .sdf import primitive_surface_points
+
+    if geom.gtype == GEOM_MESH:
+        return geom.mesh.surface_points
+    return primitive_surface_points(geom)
+
+
+def _sdf_pair_orientation(geom_a, geom_b):
+    """(query_geom, sdf_geom, flip) — the SDF side is the one WITH a
+    precomputed grid; when both carry one, B is the SDF (by convention the
+    fixed asset is listed second in scene pair order)."""
+    if _has_sdf(geom_b):
+        return geom_a, geom_b, False
+    return geom_b, geom_a, True
+
+
 def num_pair_contacts(geom_a, geom_b) -> int:
     """Static contact-candidate count for a geom pair."""
+    if _has_sdf(geom_a) or _has_sdf(geom_b):
+        q, _s, _f = _sdf_pair_orientation(geom_a, geom_b)
+        return _sample_points_local(q).shape[0]
+    if geom_a.gtype == GEOM_MESH or geom_b.gtype == GEOM_MESH:
+        # SDF-less mesh vs primitive: mesh surface points vs the primitive
+        m = geom_a if geom_a.gtype == GEOM_MESH else geom_b
+        return m.mesh.surface_points.shape[0]
     if geom_a.gtype == GEOM_BOX and geom_b.gtype == GEOM_BOX:
         return 17
     if geom_a.gtype in _CAPSULE_LIKE and geom_b.gtype in _CAPSULE_LIKE:
         return 2
     return 1
+
+
+def mesh_points_vs_primitive_contacts(
+    geom_a, pos_a, quat_a, geom_b, pos_b, quat_b
+):
+    """SDF-less mesh vs primitive narrowphase: the mesh's surface sample
+    points tested against the primitive's analytic surface (box closest-
+    point / swept-sphere segment). Covers e.g. a held factory nut (mesh,
+    query-side only) resting on the fixed asset's base plate."""
+    if geom_a.gtype == GEOM_MESH:
+        mg, m_pos, m_quat = geom_a, pos_a, quat_a
+        pg, p_pos, p_quat = geom_b, pos_b, quat_b
+        flip = False  # primitive is B: outward normals are already b->a
+    else:
+        mg, m_pos, m_quat = geom_b, pos_b, quat_b
+        pg, p_pos, p_quat = geom_a, pos_a, quat_a
+        flip = True
+    local = jnp.asarray(mg.mesh.surface_points)  # (k, 3)
+    k = local.shape[0]
+    pts = m_pos[None, :] + math_utils.quat_apply(
+        jnp.broadcast_to(m_quat, (k, 4)), local
+    )
+    out = []
+    if pg.gtype == GEOM_BOX:
+        d = m_pos - p_pos
+        w = d / jnp.maximum(jnp.linalg.norm(d), 1e-9)
+        for i in range(k):
+            point, normal, depth = _point_vs_box(pts[i], pg, p_pos, p_quat, w)
+            out.append((point, -normal if flip else normal, depth))
+        return out
+    # sphere/capsule/cylinder: swept-sphere segment
+    if pg.gtype == GEOM_SPHERE:
+        s0 = s1 = p_pos
+        r = pg.size[0]
+    else:
+        axis = math_utils.quat_apply(p_quat, jnp.array([0.0, 0.0, 1.0]))
+        hl = pg.size[1]
+        s0, s1 = p_pos - axis * hl, p_pos + axis * hl
+        r = pg.size[0]
+    for i in range(k):
+        cp = _closest_point_on_segment(s0, s1, pts[i])
+        delta = pts[i] - cp
+        dist = jnp.linalg.norm(delta)
+        normal = delta / jnp.maximum(dist, 1e-9)
+        depth = r - dist
+        out.append((pts[i], -normal if flip else normal, depth))
+    return out
+
+
+def mesh_sdf_contacts(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
+    """Point-vs-SDF narrowphase for pairs where one geom carries a mesh SDF
+    (reference factory SDF collision, PhysX SDF contact gen). The query
+    geom's surface sample points are transformed into the SDF frame; each
+    fetch yields depth (-sdf) and normal (SDF gradient, outward from the
+    SDF mesh — i.e. b->a when B owns the SDF)."""
+    q_geom, s_geom, flip = _sdf_pair_orientation(geom_a, geom_b)
+    if flip:
+        q_pos, q_quat, s_pos, s_quat = pos_b, quat_b, pos_a, quat_a
+    else:
+        q_pos, q_quat, s_pos, s_quat = pos_a, quat_a, pos_b, quat_b
+    local = jnp.asarray(_sample_points_local(q_geom))  # (k, 3)
+    k = local.shape[0]
+    pts_w = q_pos[None, :] + math_utils.quat_apply(
+        jnp.broadcast_to(q_quat, (k, 4)), local
+    )
+    pts_s = math_utils.quat_apply_inverse(
+        jnp.broadcast_to(s_quat, (k, 4)), pts_w - s_pos[None, :]
+    )
+    dist, grad = s_geom.mesh.sdf.sample(pts_s)
+    normal_w = math_utils.quat_apply(jnp.broadcast_to(s_quat, (k, 4)), grad)
+    if flip:  # SDF owner is A: gradient pushes B out -> a->b; flip to b->a
+        normal_w = -normal_w
+    depth = -dist
+    return [(pts_w[i], normal_w[i], depth[i]) for i in range(k)]
 
 
 def _pair_contact(geom_a, pos_a, quat_a, geom_b, pos_b, quat_b):
@@ -523,6 +640,8 @@ def _geom_bounding_radius(geom) -> float:
         return s[0] + s[1]
     if geom.gtype == GEOM_BOX:
         return float(np.linalg.norm(s))
+    if geom.gtype == GEOM_MESH:
+        return float(geom.mesh.bound_radius)
     return float(np.linalg.norm(s))  # conservative default
 
 
@@ -675,7 +794,11 @@ class CollisionPlan:
         for ga, gb in self.pairs:
             pa, qa = _geom_world_pose(kin, ga)
             pb, qb = _geom_world_pose(kin, gb)
-            if ga.gtype == GEOM_BOX and gb.gtype == GEOM_BOX:
+            if _has_sdf(ga) or _has_sdf(gb):
+                hits = mesh_sdf_contacts(ga, pa, qa, gb, pb, qb)
+            elif ga.gtype == GEOM_MESH or gb.gtype == GEOM_MESH:
+                hits = mesh_points_vs_primitive_contacts(ga, pa, qa, gb, pb, qb)
+            elif ga.gtype == GEOM_BOX and gb.gtype == GEOM_BOX:
                 hits = box_box_contacts(ga, pa, qa, gb, pb, qb)
             elif ga.gtype in _CAPSULE_LIKE and gb.gtype in _CAPSULE_LIKE:
                 hits = capsule_capsule_contacts(ga, pa, qa, gb, pb, qb)

@@ -32,6 +32,7 @@ GEOM_CAPSULE = 1
 GEOM_BOX = 2
 GEOM_PLANE = 3
 GEOM_CYLINDER = 4
+GEOM_MESH = 5  # triangle mesh with precomputed SDF (physics/sdf.py)
 
 # Monotonic per-instance token for trace-time caches. ``id(model)`` is NOT a
 # valid cache key: CPython reuses addresses after GC, so a long-lived process
@@ -66,6 +67,9 @@ class Geom:
     # from the contact pipeline — keeps contact-free tasks (e.g. cartpole)
     # contact-free when they gain display shapes for the camera sensors
     collidable: bool = True
+    # GEOM_MESH attachment: physics/sdf.MeshData (vertices/faces + SDF grid
+    # + surface sample points) — the factory-task mesh-collision carrier
+    mesh: object = None
 
 
 @dataclass
@@ -411,7 +415,7 @@ class ModelBuilder:
             self.jnt_names.append(jnt_name or f"{name}_{'free' if jnt_type == JOINT_FREE else 'fixed'}")
         return idx
 
-    def add_geom(self, body: int, gtype: int, size, pos=(0, 0, 0), quat=(1, 0, 0, 0), friction=1.0, restitution=0.0, name="", rgba=None, collidable=True):
+    def add_geom(self, body: int, gtype: int, size, pos=(0, 0, 0), quat=(1, 0, 0, 0), friction=1.0, restitution=0.0, name="", rgba=None, collidable=True, mesh=None):
         self.geoms.append(
             Geom(
                 body=body,
@@ -424,6 +428,7 @@ class ModelBuilder:
                 name=name or f"geom_{len(self.geoms)}",
                 rgba=rgba,
                 collidable=collidable,
+                mesh=mesh,
             )
         )
 

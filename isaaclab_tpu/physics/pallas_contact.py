@@ -331,7 +331,7 @@ def contact_solve_fused(
     limit_lower,  # (E, nu)
     limit_upper,
     warm_lambda,  # (E, nrows)
-    block_envs: int = 256,
+    block_envs: int = None,
 ):
     """Whole-batch constraint solve through the fused kernel.
 
@@ -410,6 +410,16 @@ def contact_solve_fused(
     cpos2 = jnp.swapaxes(contacts_b.pos, 1, 2).reshape(E, 3 * ncon)
     cnrm2 = jnp.swapaxes(contacts_b.normal, 1, 2).reshape(E, 3 * ncon)
 
+    if block_envs is None:
+        # VMEM-budgeted block size. Live-buffer model (empirical, calibrated
+        # on the Anymal-rough OOM: BE=256, nv=18, R=108, n_chol~120 hit
+        # 29.5 MiB of the 16 MiB scoped limit): the J/MJ/y row lists hold
+        # ~3*nv (BE, R) f32 buffers plus ~24 temporaries, and every packed-
+        # Cholesky (BE, 1) slice pads its lane dim to 128 (512 B/env each).
+        n_chol = len(nonzero)
+        per_env = 4 * R * (3 * nv + 24) + 512 * n_chol
+        budget = 11 * 2**20  # leave headroom under the 16 MiB scoped limit
+        block_envs = max(8, min(256, int(budget / (1.3 * per_env)) // 8 * 8))
     BE = min(block_envs, E)
     pad = (-E) % BE
     mask_in = jnp.asarray(mask_net, jnp.float32)

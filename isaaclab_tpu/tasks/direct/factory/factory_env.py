@@ -12,12 +12,14 @@ along the held and fixed assets' axes whose pairwise distances shrink to
 zero at full insertion (factory_env.py:236+). The action is a 6d task-space
 delta-pose of the hand tracked through differential IK.
 
-Documented divergences from the reference: the socket is a 4-box ring with
-~4.5 mm radial clearance (hole half-width 0.0125 vs peg radius 0.008 — see
-``build_socket_model``; the reference uses SDF collision on non-convex
-meshes at ~0.1 mm clearance, beyond the primitive narrowphase here), and
-the GearMesh/NutThread variants still weld their held asset to the hand
-(``FactoryTaskCfg.weld_held_asset``) pending the same free-body treatment.
+Round 4: the socket is a triangle MESH with a round chamfered through-hole
+collided via a precomputed SDF voxel grid (physics/sdf.py) at 1.5 mm radial
+clearance — the TPU recast of the reference's PhysX SDF mesh collision
+(~0.1 mm; 1.5 mm is what the 0.75 mm voxel grid resolves honestly).
+Remaining divergence: the GearMesh/NutThread variants still weld their held
+asset to the hand (``FactoryTaskCfg.weld_held_asset``) pending the same
+free-body treatment; their gear/nut/bolt geometry is mesh-SDF too
+(factory_tasks.py).
 """
 
 from __future__ import annotations
@@ -85,21 +87,49 @@ def build_peg_model():
     return b.build()
 
 
+# SDF socket: round hole at 1.5 mm radial clearance (reference PhysX SDF
+# meshes run ~0.1 mm; 1.5 mm is what the 0.75 mm voxel SDF + velocity-IK
+# stack resolves honestly). ISAACLAB_TPU_FACTORY_PRIMITIVES=1 restores the
+# legacy 4-box ring (~4.5 mm clearance) for quick CPU tests.
+SOCKET_HOLE_RADIUS = 0.0095
+
+
+def _use_primitive_factory() -> bool:
+    import os
+
+    return os.environ.get("ISAACLAB_TPU_FACTORY_PRIMITIVES", "0") == "1"
+
+
 def build_socket_model():
-    """Fixed asset: base plate with a 4-box ring receptacle (~4.5 mm radial
-    clearance around the 8 mm peg; the reference uses SDF meshes at ~0.1 mm
-    clearance, beyond this primitive narrowphase + velocity-IK stack)."""
+    """Fixed asset: base plate + receptacle. Default: triangle-mesh annular
+    plate with a ROUND through-hole collided via its precomputed SDF grid
+    (physics/sdf.py — the TPU recast of the reference's SDF mesh collision,
+    direct/factory/factory_env.py + factory_tasks_cfg.py held/fixed USDs)."""
     b = ModelBuilder("fixed_asset")
     base = b.add_body("fixed_asset", -1, JOINT_FIXED, mass=1.0,
                       inertia=np.eye(3) * 0.01)
     b.add_geom(base, GEOM_BOX, (0.04, 0.04, 0.01), pos=(0, 0, 0.01))
-    w, hole = 0.012, 0.0125
-    for dx, dy, sx, sy in (
-        (hole + w, 0, w, 2 * hole), (-(hole + w), 0, w, 2 * hole),
-        (0, hole + w, 2 * hole, w), (0, -hole - w, 2 * hole, w),
-    ):
-        b.add_geom(base, GEOM_BOX, (sx, sy, 0.015), pos=(dx, dy, 0.035),
-                   friction=0.6)
+    if _use_primitive_factory():
+        w, hole = 0.012, 0.0125
+        for dx, dy, sx, sy in (
+            (hole + w, 0, w, 2 * hole), (-(hole + w), 0, w, 2 * hole),
+            (0, hole + w, 2 * hole, w), (0, -hole - w, 2 * hole, w),
+        ):
+            b.add_geom(base, GEOM_BOX, (sx, sy, 0.015), pos=(dx, dy, 0.035),
+                       friction=0.6)
+        return b.build()
+    from ....physics.model import GEOM_MESH
+    from ....physics.sdf import MeshData, annular_plate_mesh, build_mesh_sdf
+
+    V, F = annular_plate_mesh(
+        hole_radius=SOCKET_HOLE_RADIUS, outer_half=0.04, thickness=0.03, n=32,
+        chamfer=(0.006, 0.005),  # countersunk entry funnels the tight fit
+    )
+    md = MeshData(V, F, sdf=build_mesh_sdf(V, F, spacing=0.00075))
+    # hole spans z 0.02..0.05 above the base plate (same envelope as the
+    # legacy ring receptacle)
+    b.add_geom(base, GEOM_MESH, (0.04, 0.04, 0.03), pos=(0, 0, 0.02),
+               friction=0.6, mesh=md, name="socket_mesh")
     return b.build()
 
 

@@ -3,12 +3,18 @@
 machinery as PegInsert (factory_env.py), different held/fixed assets and
 reward length-scales.
 
-TPU asset modelling: the reference's USD gear/nut meshes become primitive
-composites — a gear/nut is a 4-box ring around the mating hole (the ring
-collides with the shaft/bolt capsule through the box-capsule narrowphase),
-flanking gears are visual-only geoms. Success thresholds are absolute
-keypoint distances (the reference expresses them as fractions of asset
-height; converted here with the modelled heights)."""
+TPU asset modelling (round 4): gear/nut/bolt are procedural triangle MESHES
+collided through the SDF narrowphase (physics/sdf.py — the recast of the
+reference's PhysX SDF mesh collision): the held gear/nut carries bore-wall
+sample points queried against the fixed shaft/bolt's precomputed SDF voxel
+grid; the ridged bolt shaft models the thread interlock at the thread pitch
+(ring threads — helical advance is beyond useful SDF resolution, so
+threading kinematics reduce to guarded descent + yaw like the primitive
+model did, now at 1.2 mm crest clearance). Flanking gears are visual-only.
+Success thresholds are absolute keypoint distances (the reference expresses
+them as fractions of asset height; converted with the modelled heights).
+``ISAACLAB_TPU_FACTORY_PRIMITIVES=1`` restores the legacy 4-box-ring
+primitive assets (fast CPU-test path, no SDF precompute)."""
 
 from __future__ import annotations
 
@@ -19,6 +25,7 @@ from ....physics.model import (
     GEOM_BOX,
     GEOM_CAPSULE,
     GEOM_CYLINDER,
+    GEOM_MESH,
     JOINT_FIXED,
     JOINT_REVOLUTE,
     ModelBuilder,
@@ -114,6 +121,12 @@ def _add_ring(b, body, hole_r, width, half_h, z, friction=0.8,
 # ---------------------------------------------------------------------------
 
 
+def _use_primitive_factory() -> bool:
+    import os
+
+    return os.environ.get("ISAACLAB_TPU_FACTORY_PRIMITIVES", "0") == "1"
+
+
 def build_franka_with_gear():
     b = ModelBuilder("franka_gear")
     hand = _franka_arm(b)
@@ -121,8 +134,31 @@ def build_franka_with_gear():
         "held_asset", hand, JOINT_FIXED, jnt_pos=(0, 0, 0.09),
         mass=0.019, com=(0, 0, 0.01), inertia=np.eye(3) * 1e-5,
     )
-    # medium gear: bore ring (slides over the 8mm shaft) + tooth disc visual
-    _add_ring(b, gear, hole_r=0.0105, width=0.006, half_h=0.008, z=0.01)
+    if _use_primitive_factory():
+        # legacy: bore ring (slides over the 8mm shaft) + tooth disc visual
+        _add_ring(b, gear, hole_r=0.0105, width=0.006, half_h=0.008, z=0.01)
+    else:
+        from ....physics.sdf import (
+            MeshData,
+            bore_surface_points,
+            gear_with_bore_mesh,
+        )
+
+        V, F = gear_with_bore_mesh(
+            bore_radius=0.0105, root_radius=0.028, tip_radius=0.035,
+            teeth=16, thickness=0.016,
+        )
+        # query points concentrated on the bore wall (the mating surface)
+        # plus bottom-face ring (rests on the base plate)
+        pts = np.concatenate([
+            bore_surface_points(0.0105, 0.008, n_ang=12),
+            bore_surface_points(0.020, 0.0, n_ang=8, z_levels=(-1.0,),
+                                center=(0, 0, -0.008)),
+        ])
+        md = MeshData(V, F, surface_points=pts)
+        # named held_ring* so the scene's collision filters keep its pairs
+        b.add_geom(gear, GEOM_MESH, (0.035, 0.035, 0.008), pos=(0, 0, 0.01),
+                   friction=0.8, mesh=md, name="held_ring_mesh")
     b.add_geom(gear, GEOM_CYLINDER, (0.035, 0.008), pos=(0, 0, 0.01),
                rgba=(0.75, 0.6, 0.2, 1.0), collidable=False, name="gear_visual")
     return b.build()
@@ -134,11 +170,25 @@ def build_gear_base():
                       inertia=np.eye(3) * 0.01)
     b.add_geom(base, GEOM_BOX, (0.06, 0.04, 0.01), pos=(0, 0, 0.01))
     # three vertical shafts; the medium (center) one is the mating target
-    for dx, r, name in ((0.0, 0.008, "shaft_medium"),
-                        (-0.035, 0.006, "shaft_small"),
-                        (0.04, 0.010, "shaft_large")):
-        b.add_geom(base, GEOM_CAPSULE, (r, 0.015), pos=(dx, 0, 0.035),
-                   friction=0.6, name=name)
+    if _use_primitive_factory():
+        for dx, r, name in ((0.0, 0.008, "shaft_medium"),
+                            (-0.035, 0.006, "shaft_small"),
+                            (0.04, 0.010, "shaft_large")):
+            b.add_geom(base, GEOM_CAPSULE, (r, 0.015), pos=(dx, 0, 0.035),
+                       friction=0.6, name=name)
+    else:
+        from ....physics.sdf import (
+            MeshData, build_mesh_sdf, cylinder_mesh, merge_meshes,
+        )
+
+        V, F = merge_meshes([
+            cylinder_mesh(0.008, 0.015) + ((0.0, 0.0, 0.0),),
+            cylinder_mesh(0.006, 0.015) + ((-0.035, 0.0, 0.0),),
+            cylinder_mesh(0.010, 0.015) + ((0.04, 0.0, 0.0),),
+        ])
+        md = MeshData(V, F, sdf=build_mesh_sdf(V, F, spacing=0.0008))
+        b.add_geom(base, GEOM_MESH, (0.05, 0.01, 0.015), pos=(0, 0, 0.035),
+                   friction=0.6, mesh=md, name="shafts_mesh")
     # flanking gears pre-seated on their shafts (visual only, reference
     # add_flanking_gears=True)
     b.add_geom(base, GEOM_CYLINDER, (0.02, 0.008), pos=(-0.035, 0, 0.03),
@@ -200,8 +250,26 @@ def build_franka_with_nut():
         "held_asset", hand, JOINT_FIXED, jnt_pos=(0, 0, 0.09),
         mass=0.03, com=(0, 0, 0.008), inertia=np.eye(3) * 1e-5,
     )
-    # M16 nut: 8.5mm bore ring, 8mm tall
-    _add_ring(b, nut, hole_r=0.0085, width=0.006, half_h=0.004, z=0.008)
+    if _use_primitive_factory():
+        # legacy M16 nut: 8.5mm bore ring, 8mm tall
+        _add_ring(b, nut, hole_r=0.0085, width=0.006, half_h=0.004, z=0.008)
+    else:
+        from ....physics.sdf import (
+            MeshData, bore_surface_points, hex_nut_mesh,
+        )
+
+        # M16 hex nut: round 9.2mm bore (1.2mm clearance over the ridged
+        # bolt's 8mm thread crests), 12mm across flats
+        V, F = hex_nut_mesh(flat_radius=0.012, hole_radius=0.0092,
+                            thickness=0.008)
+        pts = np.concatenate([
+            bore_surface_points(0.0092, 0.004, n_ang=12),
+            bore_surface_points(0.011, 0.0, n_ang=8, z_levels=(-1.0,),
+                                center=(0, 0, -0.004)),
+        ])
+        md = MeshData(V, F, surface_points=pts)
+        b.add_geom(nut, GEOM_MESH, (0.012, 0.012, 0.004), pos=(0, 0, 0.008),
+                   friction=0.8, mesh=md, name="held_ring_mesh")
     b.add_geom(nut, GEOM_CYLINDER, (0.012, 0.004), pos=(0, 0, 0.008),
                rgba=(0.7, 0.7, 0.75, 1.0), collidable=False, name="nut_visual")
     return b.build()
@@ -212,9 +280,24 @@ def build_bolt():
     base = b.add_body("fixed_asset", -1, JOINT_FIXED, mass=1.0,
                       inertia=np.eye(3) * 0.01)
     b.add_geom(base, GEOM_BOX, (0.03, 0.03, 0.01), pos=(0, 0, 0.01))
-    # M16 bolt shank, 35mm of thread above the base
-    b.add_geom(base, GEOM_CAPSULE, (0.008, 0.0175), pos=(0, 0, 0.0375),
-               friction=0.6, name="bolt")
+    if _use_primitive_factory():
+        # legacy: smooth M16 bolt shank, 35mm of thread above the base
+        b.add_geom(base, GEOM_CAPSULE, (0.008, 0.0175), pos=(0, 0, 0.0375),
+                   friction=0.6, name="bolt")
+    else:
+        from ....physics.sdf import (
+            MeshData, build_mesh_sdf, threaded_shaft_mesh,
+        )
+
+        # ridged M16 shaft: 2mm pitch, 1.2mm thread depth, SDF at 0.5mm
+        # voxels (resolves the ridge profile the nut bore rides over)
+        V, F = threaded_shaft_mesh(
+            radius=0.008, half_length=0.0175, thread_depth=0.0012,
+            pitch=0.002, n=24,
+        )
+        md = MeshData(V, F, sdf=build_mesh_sdf(V, F, spacing=0.0005))
+        b.add_geom(base, GEOM_MESH, (0.008, 0.008, 0.0175),
+                   pos=(0, 0, 0.0375), friction=0.6, mesh=md, name="bolt")
     return b.build()
 
 
