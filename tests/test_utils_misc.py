@@ -202,3 +202,27 @@ class TestMeshTerrains:
         import numpy as np
         assert gen.heights.shape == (160, 160)
         assert np.all(np.isfinite(gen.heights))
+
+
+def test_pretrained_checkpoint_conventions(tmp_path, monkeypatch):
+    """Reference utils/pretrained_checkpoint.py:25-122 discovery semantics:
+    newest run dir -> newest checkpoint -> publish -> resolve."""
+    from isaaclab_tpu.utils import pretrained_checkpoint as pc
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("ISAACLAB_TPU_CKPT_ROOT", str(tmp_path / "store"))
+    task = "Isaac-Cartpole-v0"
+    assert pc.get_pretrained_checkpoint_path("rsl_rl", task) is None
+    assert not pc.has_pretrained_checkpoint_job_run("rsl_rl", task)
+    run = tmp_path / "logs" / "rsl_rl" / task / "run1"
+    run.mkdir(parents=True)
+    (run / "model_5.msgpack").write_text("old")
+    (run / "model_10.msgpack").write_text("new")
+    import os
+    os.utime(run / "model_5.msgpack", (0, 0))
+    found = pc.get_pretrained_checkpoint_path("rsl_rl", task)
+    assert found.endswith("model_10.msgpack")
+    assert pc.has_pretrained_checkpoint_job_finished("rsl_rl", task)
+    dst = pc.publish_pretrained_checkpoint("rsl_rl", task)
+    assert pc.get_published_pretrained_checkpoint("rsl_rl", task) == dst
+    assert pc.WORKFLOW_TRAINER["skrl"].endswith("skrl/train.py")
