@@ -50,6 +50,11 @@ class HeightField(NamedTuple):
     # finite-difference taps) — the terrain-contact path is gather-bound on
     # TPU, and this cuts its gather count 5x
     packed: jnp.ndarray = None
+    # optional OVERHANG layer: (rows, cols, 2) [z_lo, z_hi] solid slab
+    # suspended above the base surface (reference trimesh floating_ring —
+    # geometry a single height field cannot represent). Cells without an
+    # overhang carry [+BIG, -BIG] so nothing ever hits them.
+    slab: jnp.ndarray = None
 
     def sample(self, xy):
         """Bilinear height lookup at world (..., 2) positions; O(1) per query,
@@ -105,6 +110,16 @@ class HeightField(NamedTuple):
             return self.sample(xy), self.normal(xy)
         v = self._bilinear_packed(xy)
         return v[..., 0], math_utils.normalize(v[..., 1:4])
+
+    def sample_slab(self, xy):
+        """Nearest-cell overhang interval (z_lo, z_hi) at world (..., 2)
+        positions (sharp-edged slabs: bilinear would smear the ring rim)."""
+        S = jnp.asarray(self.slab)
+        rel = (xy - jnp.asarray(self.origin)) / self.horizontal_scale
+        r = jnp.clip(jnp.round(rel[..., 0]).astype(jnp.int32), 0, S.shape[0] - 1)
+        c = jnp.clip(jnp.round(rel[..., 1]).astype(jnp.int32), 0, S.shape[1] - 1)
+        v = S[r, c]
+        return v[..., 0], v[..., 1]
 
     def normal(self, xy, eps: float = 0.05):
         """Finite-difference surface normal at world (..., 2) positions."""
@@ -709,9 +724,14 @@ class CollisionPlan:
     """
 
     def __init__(self, model: RobotModel, pairs=None, with_ground: bool = True,
-                 ground_z_max: float | None = None):
+                 ground_z_max: float | None = None,
+                 with_overhang: bool = False):
         self.model = model
         self.with_ground = with_ground
+        # overhang slab contacts (HeightField.slab — reference floating_ring
+        # trimesh terrain): every ground probe doubles as a slab probe
+        # (walk ON the ring top, bump INTO its underside)
+        self.with_overhang = with_overhang and with_ground
         self.pairs = [
             (ga, gb) for ga, gb in (pairs or []) if ga.collidable and gb.collidable
         ]
@@ -724,8 +744,10 @@ class CollisionPlan:
                 g for g in self.ground_geoms
                 if geom_min_z_bound(model, g) <= ground_z_max + margin
             ]
-        self.ncon = sum(num_ground_candidates(g) for g in self.ground_geoms) + sum(
-            num_pair_contacts(ga, gb) for ga, gb in self.pairs
+        n_ground = sum(num_ground_candidates(g) for g in self.ground_geoms)
+        self.ncon = (
+            n_ground * (2 if self.with_overhang else 1)
+            + sum(num_pair_contacts(ga, gb) for ga, gb in self.pairs)
         )
 
     def candidate_geoms(self):
@@ -735,6 +757,9 @@ class CollisionPlan:
         out = []
         for g in self.ground_geoms:
             out += [(g, None)] * num_ground_candidates(g)
+        if self.with_overhang:
+            for g in self.ground_geoms:
+                out += [(g, None)] * num_ground_candidates(g)
         for ga, gb in self.pairs:
             out += [(ga, gb)] * num_pair_contacts(ga, gb)
         return out
@@ -748,6 +773,11 @@ class CollisionPlan:
             k = num_ground_candidates(g)
             body_a += [g.body] * k
             body_b += [-1] * k
+        if self.with_overhang:
+            for g in self.ground_geoms:
+                k = num_ground_candidates(g)
+                body_a += [g.body] * k
+                body_b += [-1] * k
         for ga, gb in self.pairs:
             k = num_pair_contacts(ga, gb)
             body_a += [ga.body] * k
@@ -790,6 +820,45 @@ class CollisionPlan:
                 body_b.append(-1)
                 fric.append(g.friction)
                 rest.append(g.restitution)
+
+        if self.with_overhang:
+            # overhang slab contacts: probe sphere vs the [z_lo, z_hi]
+            # interval — from below the underside pushes DOWN, from above
+            # the slab top is walkable (flat-top/flat-bottom approximation,
+            # exact for the floating-ring geometry)
+            has_slab = terrain is not None and terrain.slab is not None
+            for g in self.ground_geoms:
+                gp, gq = _geom_world_pose(kin, g)
+                probes, radii = _ground_candidates_for_geom(g, gp, gq, terrain)
+                if has_slab:
+                    xy = probes[..., :2]
+                    off_z = 0.0
+                    if terrain_offset is not None:
+                        xy = xy + terrain_offset[:2]
+                        off_z = terrain_offset[2]
+                    z_lo, z_hi = terrain.sample_slab(xy)
+                    z_lo = z_lo - off_z
+                    z_hi = z_hi - off_z
+                    pz = probes[..., 2]
+                    below = pz < 0.5 * (z_lo + z_hi)
+                    depth = jnp.where(
+                        below, pz + radii - z_lo, z_hi - (pz - radii)
+                    )
+                    nz = jnp.where(below, -1.0, 1.0)
+                else:
+                    depth = jnp.full(probes.shape[:-1], -1.0)
+                    nz = jnp.ones(probes.shape[:-1])
+                zero = jnp.zeros(probes.shape[:-1])
+                nvec = jnp.stack([zero, zero, nz], axis=-1)
+                point = probes - nvec * radii[..., None]
+                for k in range(probes.shape[0]):
+                    pos_list.append(point[k])
+                    nrm_list.append(nvec[k])
+                    depth_list.append(depth[k])
+                    body_a.append(g.body)
+                    body_b.append(-1)
+                    fric.append(g.friction)
+                    rest.append(g.restitution)
 
         for ga, gb in self.pairs:
             pa, qa = _geom_world_pose(kin, ga)

@@ -225,6 +225,13 @@ class InteractiveScene:
             pairs=pairs,
             with_ground=self.terrain is not None or _any_ground_geoms(models),
             ground_z_max=0.0 if self.terrain is None else None,
+            # overhang terrains (floating-ring slab layer) add underside/top
+            # contact rows for every ground probe
+            with_overhang=(
+                self.terrain is not None
+                and self.terrain.height_field is not None
+                and self.terrain.height_field.slab is not None
+            ),
         )
         from ..physics.solver import num_limit_rows
 

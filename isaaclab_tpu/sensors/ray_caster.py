@@ -213,20 +213,42 @@ def raycast_height_field(starts, dirs, terrain, terrain_offset, max_distance,
     def height_at(p):
         return terrain.sample(p[..., :2] + terrain_offset[:2]) - terrain_offset[2]
 
+    has_slab = terrain.slab is not None
+
+    def inside_at(p):
+        """Solid test: below the base surface OR inside an overhang slab."""
+        below = p[..., 2] < height_at(p)
+        if not has_slab:
+            return below
+        z_lo, z_hi = terrain.sample_slab(p[..., :2] + terrain_offset[:2])
+        in_slab = (p[..., 2] >= z_lo - terrain_offset[2]) & (
+            p[..., 2] <= z_hi - terrain_offset[2]
+        )
+        return below | in_slab
+
     vertical = jnp.abs(dirs[..., 2]) > 0.999
     # vertical fast path
     h = height_at(starts)
     t_vert = jnp.clip((starts[..., 2] - h) / jnp.maximum(-dirs[..., 2], 1e-6),
                       0.0, max_distance)
+    if has_slab:
+        # a downward ray starting above a slab hits its top first
+        z_lo, z_hi = terrain.sample_slab(starts[..., :2] + terrain_offset[:2])
+        z_hi = z_hi - terrain_offset[2]
+        t_slab = (starts[..., 2] - z_hi) / jnp.maximum(-dirs[..., 2], 1e-6)
+        slab_hit = (starts[..., 2] > z_hi) & (t_slab > 0) & (
+            t_slab <= max_distance
+        )
+        t_vert = jnp.where(slab_hit, jnp.minimum(t_vert, t_slab), t_vert)
     if assume_vertical:
         return starts + dirs * t_vert[..., None]
 
-    # fixed-step DDA march: find first sample below terrain
+    # fixed-step DDA march: find first sample inside solid terrain
     ts = jnp.linspace(0.0, max_distance, num_steps)
     pts = starts[:, None, :] + dirs[:, None, :] * ts[None, :, None]
-    below = pts[..., 2] < height_at(pts)  # (N, S)
+    below = inside_at(pts)  # (N, S)
     any_hit = jnp.any(below, axis=-1)
-    first = jnp.argmax(below, axis=-1)  # first below-terrain sample
+    first = jnp.argmax(below, axis=-1)  # first inside-terrain sample
     t_hi = ts[first]
     t_lo = ts[jnp.maximum(first - 1, 0)]
     # bisection refinement (8 rounds)
@@ -234,7 +256,7 @@ def raycast_height_field(starts, dirs, terrain, terrain_offset, max_distance,
         lo, hi = carry
         mid = 0.5 * (lo + hi)
         p = starts + dirs * mid[..., None]
-        below_mid = p[..., 2] < height_at(p)
+        below_mid = inside_at(p)
         return jnp.where(below_mid, lo, mid), jnp.where(below_mid, mid, hi)
 
     t_lo, t_hi = jax.lax.fori_loop(0, 8, refine, (t_lo, t_hi))

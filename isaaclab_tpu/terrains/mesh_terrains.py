@@ -2,12 +2,15 @@
 
 The reference emits triangle meshes; the TPU runtime representation is a
 height field (SURVEY.md §2.7 TPU note), so each generator rasterizes the same
-shape directly onto the grid. True overhangs (the floating ring's underside)
-cannot exist in a height field — those surfaces rasterize to their top face,
-which is the surface locomotion interacts with anyway.
+shape directly onto the grid. True overhangs (round 4) ride an OVERHANG SLAB
+layer: a generator may return ``(heights, slab)`` where slab is
+(rows, cols, 2) [z_lo, z_hi] of solid suspended above the base surface —
+the floating ring is the reference case (its underside and top are both
+real surfaces for raycast and contact; collision.HeightField.slab).
 
 All functions share the height-field convention:
-``f(difficulty, cfg, rng) -> (rows, cols) float heights [m]``.
+``f(difficulty, cfg, rng) -> (rows, cols) float heights [m]`` or
+``-> (heights, slab)``.
 """
 
 from __future__ import annotations
@@ -23,6 +26,11 @@ from .height_field_terrains import (
     _grid_shape,
     pyramid_stairs_terrain,
 )
+
+
+# empty-slab sentinels: nothing ever hits [+BIG, -BIG]
+SLAB_EMPTY_LO = 1e6
+SLAB_EMPTY_HI = -1e6
 
 
 def _xy_grids(cfg):
@@ -195,8 +203,12 @@ def mesh_gap_terrain(difficulty, cfg, rng=None):
 
 @configclass
 class MeshFloatingRingTerrainCfg(SubTerrainCfg):
-    """Reference mesh_terrains.py:floating_ring_terrain. Height fields have no
-    overhangs: the ring rasterizes as a solid raised ring (its walkable top)."""
+    """Reference mesh_terrains.py:floating_ring_terrain — a ring SUSPENDED
+    above flat ground (true overhang). Represented as flat base heights plus
+    an overhang slab layer (HeightField.slab [z_lo, z_hi]); the robot walks
+    UNDER the ring, the height scanner sees ground through the gap, and the
+    ring underside/top are real contact surfaces (collision.py
+    with_overhang)."""
 
     function: object = None
     ring_width_range: tuple = (0.5, 1.0)
@@ -218,7 +230,12 @@ def mesh_floating_ring_terrain(difficulty, cfg, rng=None):
     d = np.maximum(np.abs(x), np.abs(y))
     r = cfg.platform_width / 2 + 0.5
     ring = (d > r) & (d < r + w)
-    return np.where(ring, hh + cfg.ring_thickness, 0.0)
+    shape = np.broadcast_shapes(x.shape, y.shape)
+    heights = np.zeros(shape)
+    slab = np.empty(shape + (2,), dtype=np.float32)
+    slab[..., 0] = np.where(ring, hh, SLAB_EMPTY_LO)
+    slab[..., 1] = np.where(ring, hh + cfg.ring_thickness, SLAB_EMPTY_HI)
+    return heights, slab
 
 
 @configclass

@@ -46,6 +46,9 @@ class TerrainGenerator:
 
         self.heights = np.zeros((R * rows_per, C * cols_per))
         self.origins = np.zeros((R, C, 3))
+        # overhang slab layer: allocated lazily when a sub-terrain returns
+        # (heights, slab) — e.g. the floating ring (mesh_terrains.py)
+        self.slabs = None
 
         # choose sub-terrain per column by proportion (reference behavior:
         # columns are types, rows are difficulty levels)
@@ -73,10 +76,22 @@ class TerrainGenerator:
                     vertical_scale=cfg.vertical_scale,
                 )
                 h = sub_cfg.function(difficulty, sub_cfg, rng=rng)
-                self.heights[
-                    r * rows_per : (r + 1) * rows_per,
-                    c * cols_per : (c + 1) * cols_per,
-                ] = h
+                slab = None
+                if isinstance(h, tuple):
+                    h, slab = h
+                rs = slice(r * rows_per, (r + 1) * rows_per)
+                cs = slice(c * cols_per, (c + 1) * cols_per)
+                self.heights[rs, cs] = h
+                if slab is not None:
+                    if self.slabs is None:
+                        from .mesh_terrains import SLAB_EMPTY_HI, SLAB_EMPTY_LO
+
+                        self.slabs = np.empty(
+                            self.heights.shape + (2,), dtype=np.float32
+                        )
+                        self.slabs[..., 0] = SLAB_EMPTY_LO
+                        self.slabs[..., 1] = SLAB_EMPTY_HI
+                    self.slabs[rs, cs] = slab
                 # origin at cell center, z = height there
                 cr, cc = rows_per // 2, cols_per // 2
                 self.origins[r, c] = [

@@ -107,6 +107,11 @@ class TerrainImporter:
             packed=_pack_height_normals(
                 gen.heights, float(cfg.terrain_generator.horizontal_scale)
             ),
+            # overhang slabs (floating-ring family): [z_lo, z_hi] per cell
+            slab=(
+                np.asarray(gen.slabs, dtype=np.float32)
+                if gen.slabs is not None else None
+            ),
         )
         self._cell_origins = np.asarray(gen.origins, dtype=np.float32)  # (R, C, 3)
         self.max_terrain_level = gen.num_rows

@@ -184,6 +184,9 @@ class TestMeshTerrains:
         ]
         for cfg in cfgs:
             h = cfg.function(0.7, cfg, np.random.default_rng(1))
+            if isinstance(h, tuple):  # overhang terrains: (heights, slab)
+                h, slab = h
+                assert slab.shape == (80, 80, 2), type(cfg).__name__
             assert h.shape == (80, 80), type(cfg).__name__
             assert np.all(np.isfinite(h)), type(cfg).__name__
 
