@@ -47,6 +47,13 @@ class SolverCfg(NamedTuple):
     # launching the body (velocity-level Baumgarte otherwise injects
     # kinetic energy proportional to penetration depth).
     max_depenetration_velocity: float = 1.0
+    # Static active-set compaction (the TPU answer to PhysX's broadphase
+    # culling): keep only the ``active_contacts`` DEEPEST candidate contacts
+    # per env (lax.top_k — shapes stay static) before the Delassus/APGD
+    # stage, whose HBM traffic scales with the row count. 0 = keep all.
+    # Lossless whenever <= active_contacts candidates actually touch —
+    # inactive rows carry zero impulse either way.
+    active_contacts: int = 0
 
 
 _ANCESTOR_MASK_CACHE: dict = {}
@@ -492,6 +499,48 @@ def solve_constraints_batch(
         J_t = jax.vmap(_jac)(kin_b, contacts_b.pos, contacts_b.normal)
     else:
         J_t = jnp.zeros((E, model.nv, 0))
+
+    # ---- static active-set compaction (cfg.active_contacts = K) ----
+    # keep the K deepest candidates per env: the Delassus substitution and
+    # APGD sweeps re-read (E, nv, R) every pass, so row count IS the HBM
+    # bill; selection/scatter are cheap (E, K) gathers. Exact whenever at
+    # most K candidates touch (depth > 0) — the dropped rows are the
+    # shallowest-separated ones, which carry zero impulse anyway.
+    K = int(getattr(cfg, "active_contacts", 0) or 0)
+    compacted = bool(ncon and 0 < K < ncon)
+    ncon_full = ncon
+    sel = None
+    if compacted:
+        _, sel = jax.lax.top_k(contacts_b.depth, K)  # (E, K)
+        cols = jnp.concatenate(
+            [sel, ncon + sel, 2 * ncon + sel], axis=1
+        )  # (E, 3K)
+        J_t = jnp.take_along_axis(J_t, cols[:, None, :], axis=2)
+
+        def g2(x):  # (E, ncon) -> (E, K)
+            return jnp.take_along_axis(x, sel, axis=1)
+
+        def g3(x):  # (E, ncon, 3) -> (E, K, 3)
+            return jnp.take_along_axis(x, sel[..., None], axis=1)
+
+        contacts_b = contacts_b._replace(
+            pos=g3(contacts_b.pos), normal=g3(contacts_b.normal),
+            depth=g2(contacts_b.depth), friction=g2(contacts_b.friction),
+            restitution=g2(contacts_b.restitution),
+        )
+        if warm_lambda is not None and warm_lambda.shape == (
+            E, 3 * ncon + n_lim,
+        ):
+            warm_lambda = jnp.concatenate(
+                [
+                    jnp.take_along_axis(warm_lambda[:, : 3 * ncon], cols,
+                                        axis=1),
+                    warm_lambda[:, 3 * ncon:],
+                ],
+                axis=1,
+            )
+        ncon = K
+        nrows = 3 * K + n_lim
     if n_lim:
         lim_block = jnp.broadcast_to(
             jnp.asarray(limit_rows_t(model), J_t.dtype)[None],
@@ -589,6 +638,16 @@ def solve_constraints_batch(
             + t1 * imp[..., 1:2]
             + t2 * imp[..., 2:3]
         ) / dt
+        if compacted:
+            # scatter the K solved slots back into full candidate layout
+            # (contact sensors and warm start live in candidate space)
+            def scat(vals):  # (E, K, 3) -> (E, ncon_full, 3)
+                return jax.vmap(
+                    lambda v, s: jnp.zeros((ncon_full, 3)).at[s].set(v)
+                )(vals, sel)
+
+            imp = scat(imp)
+            contact_force_w = scat(contact_force_w)
     else:
         imp = jnp.zeros((E, 0, 3))
         contact_force_w = jnp.zeros((E, 0, 3))

@@ -70,6 +70,9 @@ class SimulationCfg:
     # engine-specific extras
     baumgarte: float = 0.2
     contact_slop: float = 0.005
+    # top-K active-set contact compaction (solver.SolverCfg.active_contacts);
+    # 0 keeps every candidate row
+    max_active_contacts: int = 0
 
     def solver_cfg(self) -> SolverCfg:
         return SolverCfg(
@@ -78,4 +81,5 @@ class SimulationCfg:
             baumgarte=float(self.baumgarte),
             contact_slop=float(self.contact_slop),
             restitution_threshold=float(self.physx.bounce_threshold_velocity),
+            active_contacts=int(self.max_active_contacts),
         )
