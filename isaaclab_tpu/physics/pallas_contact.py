@@ -40,19 +40,20 @@ import numpy as np
 
 
 def use_fused_contact_kernel(ncon: int) -> bool:
-    """Kernel on by default on TPU backends for contact-bearing plans;
-    ISAACLAB_TPU_FUSED_SOLVER=0 forces the XLA path, =1 forces the kernel
-    (interpret mode off-TPU, for CPU equivalence tests)."""
+    """OPT-IN (ISAACLAB_TPU_FUSED_SOLVER=1 forces the kernel, =0 the XLA
+    path; interpret mode off-TPU for CPU equivalence tests).
+
+    Benched OFF by default in round 4: the Pallas grid runs its env-blocks
+    SEQUENTIALLY on the single TensorCore, and VMEM limits cap the block at
+    56-88 envs (adaptive sizing below) — at rough-locomotion scale the
+    serialized kernel measured 16.7k env-steps/s vs 52.7k for the XLA path
+    (BENCH r3 vs r4 run 1), and the shadow workload timed out outright.
+    The XLA path's HBM bill is attacked with static active-set compaction
+    instead (solver.SolverCfg.active_contacts)."""
     flag = os.environ.get("ISAACLAB_TPU_FUSED_SOLVER")
     if flag is not None:
         return flag != "0"
-    if ncon == 0:
-        return False  # limit-only solves are small; XLA handles them fine
-    try:
-        backend = jax.default_backend()
-    except Exception:  # pragma: no cover
-        return False
-    return backend in ("tpu", "axon")
+    return False
 
 
 def _interpret_mode() -> bool:

@@ -62,6 +62,9 @@ class ShadowHandEnvCfg(DirectRLEnvCfg):
 
     def __post_init__(self):
         self.sim.dt = 1.0 / 120.0
+        # active-set compaction: the cube realistically touches palm + a
+        # few phalanx pads at once — 16 of the 40 candidates cover it
+        self.sim.max_active_contacts = 16
 
 
 @configclass

@@ -281,3 +281,7 @@ class LocomotionVelocityRoughEnvCfg(ManagerBasedRLEnvCfg):
         self.episode_length_s = 20.0
         self.sim.dt = 0.005
         self.sim.render_interval = self.decimation
+        # active-set compaction: a quadruped realistically touches with its
+        # 4 feet (+ shin edge cases) — 12 of the ~28 candidates cover it
+        # and the solver's HBM traffic scales with the row count
+        self.sim.max_active_contacts = 12
