@@ -169,6 +169,93 @@ def contact_jacobians_t(model: RobotModel, kin: Kinematics, contacts: Contacts):
     return rows.reshape(model.nv, 3 * ncon)
 
 
+_IS_ROT_CACHE: dict = {}
+
+
+def _dof_is_rot_static(model: RobotModel):
+    """(nv,) python/numpy 0/1: rotational dof flags, resolved from the
+    static model (free joints: 3 rot + 3 lin; prismatic 0; revolute 1)."""
+    key = model.uid
+    if key not in _IS_ROT_CACHE:
+        from .model import JOINT_PRISMATIC
+
+        is_rot = np.ones(model.nv, dtype=np.float32)
+        for b in range(model.nbody):
+            vs, vd = int(model.v_start[b]), int(model.v_dim[b])
+            jt = int(model.jnt_type[b])
+            if vd == 1 and jt == JOINT_PRISMATIC:
+                is_rot[vs] = 0.0
+            elif vd == 6:
+                is_rot[vs + 3 : vs + 6] = 0.0
+        _IS_ROT_CACHE[key] = is_rot
+    return _IS_ROT_CACHE[key]
+
+
+def contact_jacobians_t_batch(model: RobotModel, kin_b, contacts_b):
+    """(E, nv, 3*ncon) grouped-row constraint Jacobian for the WHOLE batch.
+
+    Batch-last formulation (fused.py's layout trick applied to contact
+    rows): all intermediates are (nv, ncon, E) with the env batch on vector
+    lanes — pure elementwise broadcasts, no batched 3x3 matmuls. The naive
+    ``vmap(contact_jacobians_t)`` lowers to per-env (ncon,3,3)x(ncon,3,nv)
+    einsums whose minor dims tile-pad ~40x and measured 6.0 ms/substep at
+    Anymal-rough sizes (44% of the whole physics substep,
+    tools/profile_contact_solve.py r4); this form is a handful of full-tile
+    VPU passes.
+    """
+    E, ncon = contacts_b.depth.shape
+    nv = model.nv
+    if ncon == 0:
+        return jnp.zeros((E, nv, 0))
+    mask = ancestor_mask(model)  # (nbody, nv) static
+    ba = np.asarray(contacts_b.body_a)
+    bb = np.asarray(contacts_b.body_b)
+    m_net = (
+        mask[ba]
+        - mask[np.maximum(bb, 0)] * (bb >= 0).astype(np.float32)[:, None]
+    ).T  # (nv, ncon) static
+    is_rot = _dof_is_rot_static(model)[:, None, None]  # (nv, 1, 1)
+
+    ax = [jnp.transpose(kin_b.dof_axis_w[..., k]) for k in range(3)]  # (nv,E)
+    an = [jnp.transpose(kin_b.dof_anchor_w[..., k]) for k in range(3)]
+    p = [jnp.transpose(contacts_b.pos[..., k]) for k in range(3)]  # (ncon,E)
+    n = [jnp.transpose(contacts_b.normal[..., k]) for k in range(3)]
+    # tangent basis inlined on (ncon, E) components (tangent_basis exactly)
+    use_x = jnp.abs(n[0]) < 0.9
+    ax_ = jnp.where(use_x, 1.0, 0.0)
+    ay_ = jnp.where(use_x, 0.0, 1.0)
+    t1 = [-n[2] * ay_, n[2] * ax_, n[0] * ay_ - n[1] * ax_]
+    inv_t1 = 1.0 / jnp.maximum(
+        jnp.sqrt(t1[0] ** 2 + t1[1] ** 2 + t1[2] ** 2), 1e-9
+    )
+    t1 = [c * inv_t1 for c in t1]
+    t2 = [
+        n[1] * t1[2] - n[2] * t1[1],
+        n[2] * t1[0] - n[0] * t1[2],
+        n[0] * t1[1] - n[1] * t1[0],
+    ]
+
+    # rel_k (nv, ncon, E); cross(axis, rel) unrolled over k
+    rel = [p[k][None] - an[k][:, None] for k in range(3)]
+    axn = [ax[k][:, None] for k in range(3)]  # (nv, 1, E)
+    cross = [
+        axn[(k + 1) % 3] * rel[(k + 2) % 3]
+        - axn[(k + 2) % 3] * rel[(k + 1) % 3]
+        for k in range(3)
+    ]
+    mask3 = jnp.asarray(m_net)[:, :, None]  # (nv, ncon, 1)
+    col = [
+        jnp.where(is_rot > 0.5, cross[k],
+                  jnp.broadcast_to(axn[k], cross[k].shape)) * mask3
+        for k in range(3)
+    ]
+    row_n = col[0] * n[0][None] + col[1] * n[1][None] + col[2] * n[2][None]
+    row_t1 = col[0] * t1[0][None] + col[1] * t1[1][None] + col[2] * t1[2][None]
+    row_t2 = col[0] * t2[0][None] + col[1] * t2[1][None] + col[2] * t2[2][None]
+    Jt = jnp.concatenate([row_n, row_t1, row_t2], axis=1)  # (nv, 3ncon, E)
+    return jnp.transpose(Jt, (2, 0, 1))
+
+
 def contact_jacobians(model: RobotModel, kin: Kinematics, contacts: Contacts):
     """(ncon*3, nv) interleaved [n, t1, t2] per contact (legacy layout for
     tests/back-compat; the solver uses :func:`contact_jacobians_t`)."""
@@ -488,15 +575,7 @@ def solve_constraints_batch(
                            contact_force_w=contact_force_w)
 
     if ncon:
-        def _jac(kin_e, pos, normal):
-            con = Contacts(
-                pos=pos, normal=normal, depth=pos[:, 0],
-                body_a=contacts_b.body_a, body_b=contacts_b.body_b,
-                friction=None, restitution=None,
-            )
-            return contact_jacobians_t(model, kin_e, con)
-
-        J_t = jax.vmap(_jac)(kin_b, contacts_b.pos, contacts_b.normal)
+        J_t = contact_jacobians_t_batch(model, kin_b, contacts_b)
     else:
         J_t = jnp.zeros((E, model.nv, 0))
 

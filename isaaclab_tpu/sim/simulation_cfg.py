@@ -75,11 +75,18 @@ class SimulationCfg:
     max_active_contacts: int = 0
 
     def solver_cfg(self) -> SolverCfg:
+        import os
+
+        # experiment override: ISAACLAB_TPU_ACTIVE_CONTACTS=<K> (-1 keeps
+        # the task cfg value) — lets bench A/B the compaction without edits
+        k_env = int(os.environ.get("ISAACLAB_TPU_ACTIVE_CONTACTS", "-1"))
         return SolverCfg(
             iterations=int(self.physx.solver_iteration_count),
             relaxation=1.0,
             baumgarte=float(self.baumgarte),
             contact_slop=float(self.contact_slop),
             restitution_threshold=float(self.physx.bounce_threshold_velocity),
-            active_contacts=int(self.max_active_contacts),
+            active_contacts=(
+                k_env if k_env >= 0 else int(self.max_active_contacts)
+            ),
         )

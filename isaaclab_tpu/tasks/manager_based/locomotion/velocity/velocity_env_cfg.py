@@ -281,7 +281,9 @@ class LocomotionVelocityRoughEnvCfg(ManagerBasedRLEnvCfg):
         self.episode_length_s = 20.0
         self.sim.dt = 0.005
         self.sim.render_interval = self.decimation
-        # active-set compaction: a quadruped realistically touches with its
-        # 4 feet (+ shin edge cases) — 12 of the ~28 candidates cover it
-        # and the solver's HBM traffic scales with the row count
-        self.sim.max_active_contacts = 12
+        # active-set compaction measured NET-NEGATIVE here (41.5k vs 52.6k
+        # env-steps/s at 4096 envs, r4 A/B): at quadruped sizes the solve is
+        # not the bottleneck and the top-k/gather/scatter overhead dominates
+        # the saved HBM traffic. Left off; ISAACLAB_TPU_ACTIVE_CONTACTS
+        # overrides for experiments.
+        self.sim.max_active_contacts = 0
