@@ -92,14 +92,26 @@ class DirectMARLEnv(DirectRLEnv):
         state = state._replace(key=key, prev_actions=state.actions)
         state = self._pre_physics_step(state, flat)
 
-        def _substep(st, _):
+        # narrow carry (see direct_rl_env.step_state)
+        def _substep(carry, _):
+            phys, entities, user = carry
+            st = state._replace(
+                scene=state.scene._replace(phys=phys, entities=entities),
+                user=user,
+            )
             st = self._apply_action(st)
-            return st._replace(
-                scene=self.scene.step_physics(st.scene, self.physics_dt)
-            ), None
+            sc = self.scene.step_physics(st.scene, self.physics_dt)
+            return (sc.phys, sc.entities, st.user), None
 
-        state, _ = jax.lax.scan(
-            _substep, state, None, length=int(self.cfg.decimation)
+        (phys, entities, user), _ = jax.lax.scan(
+            _substep,
+            (state.scene.phys, state.scene.entities, state.user),
+            None,
+            length=int(self.cfg.decimation),
+        )
+        state = state._replace(
+            scene=state.scene._replace(phys=phys, entities=entities),
+            user=user,
         )
         state = state._replace(
             scene=self._update_sensors(state.scene),

@@ -216,13 +216,30 @@ class DirectRLEnv(gym.Env):
             )
         state = self._pre_physics_step(state, action)
 
-        def _substep(st, _):
+        # narrow carry: phys + entity states + user (apply-action hooks may
+        # update controller/motor states in ``user``, e.g. quadcopter) —
+        # everything else in EnvState is loop-invariant and carrying it
+        # made XLA copy dozens of unchanged buffers per substep
+        def _substep(carry, _):
+            phys, entities, user = carry
+            st = state._replace(
+                scene=state.scene._replace(phys=phys, entities=entities),
+                user=user,
+            )
             st = self._apply_action(st)
-            return st._replace(
-                scene=self.scene.step_physics(st.scene, self.physics_dt)
-            ), None
+            sc = self.scene.step_physics(st.scene, self.physics_dt)
+            return (sc.phys, sc.entities, st.user), None
 
-        state, _ = jax.lax.scan(_substep, state, None, length=int(cfg.decimation))
+        (phys, entities, user), _ = jax.lax.scan(
+            _substep,
+            (state.scene.phys, state.scene.entities, state.user),
+            None,
+            length=int(cfg.decimation),
+        )
+        state = state._replace(
+            scene=state.scene._replace(phys=phys, entities=entities),
+            user=user,
+        )
         state = state._replace(scene=self._update_sensors(state.scene))
 
         state = state._replace(

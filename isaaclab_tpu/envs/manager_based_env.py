@@ -359,15 +359,26 @@ class ManagerBasedEnv(gym.Env):
         scene_state, am_state = self.action_manager.process_action(
             ctx, state.scene, state.actions, action
         )
-        def _substep(ss, _):
-            ss = self.action_manager.apply_action(ctx, ss)
-            return self.scene.step_physics(ss, self.physics_dt), None
-
         # scan keeps the traced/compiled program size independent of the
-        # decimation factor (the reference's inner loop, manager_based_env.py:398)
-        scene_state, _ = jax.lax.scan(
-            _substep, scene_state, None, length=int(self.cfg.decimation)
+        # decimation factor (the reference's inner loop,
+        # manager_based_env.py:398). The carry holds ONLY the leaves a
+        # substep mutates (phys + entity states) — carrying the full
+        # SceneState made XLA copy every loop-invariant leaf (sensors,
+        # body_params: dozens of (E, 1) buffers) in and out of the while
+        # loop each substep, a measurable slice of the rough-locomotion
+        # step in the r4 device trace.
+        def _substep(carry, _):
+            phys, entities = carry
+            ss = scene_state._replace(phys=phys, entities=entities)
+            ss = self.action_manager.apply_action(ctx, ss)
+            ss = self.scene.step_physics(ss, self.physics_dt)
+            return (ss.phys, ss.entities), None
+
+        (phys, entities), _ = jax.lax.scan(
+            _substep, (scene_state.phys, scene_state.entities), None,
+            length=int(self.cfg.decimation),
         )
+        scene_state = scene_state._replace(phys=phys, entities=entities)
         scene_state = self._update_sensors(scene_state)
         state = state._replace(scene=scene_state, actions=am_state)
         ctx = self.make_context(state)

@@ -145,13 +145,20 @@ class ManagerBasedRLEnv(ManagerBasedEnv):
 
         # 2. decimated sim loop (:182-196) as a scan: compile size stays
         # independent of the decimation factor
-        def _substep(ss, _):
+        # narrow carry: only the substep-mutated leaves ride the scan (see
+        # manager_based_env.step_state — avoids loop-invariant carry copies)
+        def _substep(carry, _):
+            phys, entities = carry
+            ss = scene_state._replace(phys=phys, entities=entities)
             ss = self.action_manager.apply_action(ctx, ss)
-            return self.scene.step_physics(ss, self.physics_dt), None
+            ss = self.scene.step_physics(ss, self.physics_dt)
+            return (ss.phys, ss.entities), None
 
-        scene_state, _ = jax.lax.scan(
-            _substep, scene_state, None, length=int(cfg.decimation)
+        (phys, entities), _ = jax.lax.scan(
+            _substep, (scene_state.phys, scene_state.entities), None,
+            length=int(cfg.decimation),
         )
+        scene_state = scene_state._replace(phys=phys, entities=entities)
         scene_state = self._update_sensors(scene_state)
         state = state._replace(scene=scene_state)
 

@@ -70,11 +70,14 @@ class TerrainImporter:
                 fill=float(verts[:, 2].min()),
             )
             self.generator = None
+            from ..physics.collision import pack_corner_heights
+
             self.height_field = HeightField(
                 heights=np.asarray(hf, dtype=np.float32),
                 horizontal_scale=hs,
                 origin=np.asarray(min_xy, dtype=np.float32),
                 packed=_pack_height_normals(hf, hs),
+                corners=pack_corner_heights(hf),
             )
             center = (min_xy + max_xy) / 2
             self.env_offsets = np.tile(
@@ -100,6 +103,8 @@ class TerrainImporter:
 
         gen = TerrainGenerator(cfg.terrain_generator)
         self.generator = gen
+        from ..physics.collision import pack_corner_heights
+
         self.height_field = HeightField(
             heights=np.asarray(gen.heights, dtype=np.float32),
             horizontal_scale=float(cfg.terrain_generator.horizontal_scale),
@@ -107,6 +112,7 @@ class TerrainImporter:
             packed=_pack_height_normals(
                 gen.heights, float(cfg.terrain_generator.horizontal_scale)
             ),
+            corners=pack_corner_heights(gen.heights),
             # overhang slabs (floating-ring family): [z_lo, z_hi] per cell
             slab=(
                 np.asarray(gen.slabs, dtype=np.float32)
