@@ -63,6 +63,10 @@ class HeightField(NamedTuple):
     # r4) and dominate rough locomotion; corner packing cuts the DMA count
     # 4x and is the difference between gather-bound and compute-bound.
     corners: jnp.ndarray = None
+    # optional (rows, cols, 16) pack of the FOUR bilinear corners of the
+    # [h, nx, ny, nz] grid — sample_hn() in one 64-byte gather per query
+    # (the contact narrowphase's height+normal fetch)
+    packed_corners: jnp.ndarray = None
 
     def sample(self, xy):
         """Bilinear height lookup at world (..., 2) positions; O(1) per query,
@@ -120,9 +124,29 @@ class HeightField(NamedTuple):
 
     def sample_hn(self, xy):
         """(height, unit normal) in one pass via the packed grid when
-        available; falls back to sample()+normal()."""
+        available; falls back to sample()+normal(). With ``packed_corners``
+        the whole bilinear stencil is ONE 64-byte gather."""
         if self.packed is None:
             return self.sample(xy), self.normal(xy)
+        if self.packed_corners is not None:
+            P = jnp.asarray(self.packed_corners)
+            rel = (xy - jnp.asarray(self.origin)) / self.horizontal_scale
+            r, c = rel[..., 0], rel[..., 1]
+            nr, nc = P.shape[0], P.shape[1]
+            r = jnp.clip(r, 0.0, nr - 1.001)
+            c = jnp.clip(c, 0.0, nc - 1.001)
+            r0 = jnp.floor(r).astype(jnp.int32)
+            c0 = jnp.floor(c).astype(jnp.int32)
+            fr = (r - r0)[..., None]
+            fc = (c - c0)[..., None]
+            C = P[r0, c0]  # (..., 16) = [p00 | p10 | p01 | p11]
+            v = (
+                C[..., 0:4] * (1 - fr) * (1 - fc)
+                + C[..., 4:8] * fr * (1 - fc)
+                + C[..., 8:12] * (1 - fr) * fc
+                + C[..., 12:16] * fr * fc
+            )
+            return v[..., 0], math_utils.normalize(v[..., 1:4])
         v = self._bilinear_packed(xy)
         return v[..., 0], math_utils.normalize(v[..., 1:4])
 
@@ -154,6 +178,17 @@ def pack_corner_heights(heights) -> np.ndarray:
     Hp = np.pad(H, ((0, 1), (0, 1)), mode="edge")
     return np.stack(
         [Hp[:-1, :-1], Hp[1:, :-1], Hp[:-1, 1:], Hp[1:, 1:]], axis=-1
+    )
+
+
+def pack_corner_channels(packed) -> np.ndarray:
+    """(rows, cols, k) channel grid -> (rows, cols, 4k) four-corner pack
+    [p(r,c) | p(r+1,c) | p(r,c+1) | p(r+1,c+1)] (edge-clamped) for
+    ``HeightField.packed_corners``."""
+    P = np.asarray(packed, dtype=np.float32)
+    Pp = np.pad(P, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    return np.concatenate(
+        [Pp[:-1, :-1], Pp[1:, :-1], Pp[:-1, 1:], Pp[1:, 1:]], axis=-1
     )
 
 

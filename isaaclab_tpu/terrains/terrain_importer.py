@@ -70,7 +70,7 @@ class TerrainImporter:
                 fill=float(verts[:, 2].min()),
             )
             self.generator = None
-            from ..physics.collision import pack_corner_heights
+            from ..physics.collision import pack_corner_channels, pack_corner_heights
 
             self.height_field = HeightField(
                 heights=np.asarray(hf, dtype=np.float32),
@@ -78,6 +78,7 @@ class TerrainImporter:
                 origin=np.asarray(min_xy, dtype=np.float32),
                 packed=_pack_height_normals(hf, hs),
                 corners=pack_corner_heights(hf),
+                packed_corners=pack_corner_channels(_pack_height_normals(hf, hs)),
             )
             center = (min_xy + max_xy) / 2
             self.env_offsets = np.tile(
@@ -103,7 +104,7 @@ class TerrainImporter:
 
         gen = TerrainGenerator(cfg.terrain_generator)
         self.generator = gen
-        from ..physics.collision import pack_corner_heights
+        from ..physics.collision import pack_corner_channels, pack_corner_heights
 
         self.height_field = HeightField(
             heights=np.asarray(gen.heights, dtype=np.float32),
@@ -113,6 +114,9 @@ class TerrainImporter:
                 gen.heights, float(cfg.terrain_generator.horizontal_scale)
             ),
             corners=pack_corner_heights(gen.heights),
+            packed_corners=pack_corner_channels(_pack_height_normals(
+                gen.heights, float(cfg.terrain_generator.horizontal_scale)
+            )),
             # overhang slabs (floating-ring family): [z_lo, z_hi] per cell
             slab=(
                 np.asarray(gen.slabs, dtype=np.float32)
