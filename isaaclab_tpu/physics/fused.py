@@ -419,24 +419,49 @@ def chol_solve_comps(L, b):
 
 def chol_solve_slabs(L, B):
     """Solve (L L^T) X = B for B: (E, n, R) — substitution over (E, R)
-    slabs (dense tiles; the batch-last answer to ``vmap(chol_solve)``)."""
+    slabs (dense tiles; the batch-last answer to ``vmap(chol_solve)``).
+
+    The nonzero components are first PACKED into one (E, n_chol) array and
+    re-sliced per use: left as ~100 independent (E,) values, XLA
+    materializes each as its own (E, 1) sublane-1 buffer and the latency-
+    hiding scheduler stages every one into scratch each substep — the
+    shadow-hand device trace showed ~28 such 2.2 ms copies PER SUBSTEP
+    dominating the whole step. Column slices of one (8, 128)-tiled buffer
+    fuse into the consuming multiplies instead."""
     n = len(L)
-    def coef(c):
-        return c[:, None]  # (E, 1) broadcast over R
+    E = B.shape[0]
+    comps = []
+    index = {}
+    for i in range(n):
+        for k in range(i + 1):
+            c = L[i][k]
+            if _is_zero(c):
+                continue
+            index[(i, k)] = len(comps)
+            comps.append(
+                c if hasattr(c, "ndim") and c.ndim == 1
+                else jnp.broadcast_to(jnp.asarray(c, jnp.float32), (E,))
+            )
+    Lp = jnp.stack(comps, axis=1)  # (E, n_chol)
+
+    def coef(i, k):
+        j = index[(i, k)]
+        return Lp[:, j : j + 1]  # (E, 1) slice of the packed buffer
+
     y = [None] * n
     for i in range(n):
         s = B[:, i, :]
         for k in range(i):
-            if not _is_zero(L[i][k]):
-                s = s - coef(L[i][k]) * y[k]
-        y[i] = s / coef(L[i][i])
+            if (i, k) in index:
+                s = s - coef(i, k) * y[k]
+        y[i] = s / coef(i, i)
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
-            if not _is_zero(L[k][i]):
-                s = s - coef(L[k][i]) * x[k]
-        x[i] = s / coef(L[i][i])
+            if (k, i) in index:
+                s = s - coef(k, i) * x[k]
+        x[i] = s / coef(i, i)
     return jnp.stack(x, axis=1)  # (E, n, R)
 
 
