@@ -205,60 +205,61 @@ class TiledCamera(SensorBase):
         return pos, quat
 
     def update(self, state, scene_state, dt: float) -> TiledCameraState:
+        """Batch-level component-wise render (no vmap): every intermediate
+        is an (E, N) array with the ray dimension on vector lanes. The
+        previous vmapped (E, N, 3) formulation put a 3-wide minor dimension
+        on lanes, which tile-pads 3 -> 128 (~42x) on EVERY intermediate —
+        the Cartpole-RGB workload measured 285 ms/frame almost entirely in
+        those padded passes; component lists make each pass a full-tile VPU
+        kernel."""
         kin = self._scene.kinematics(scene_state)
         pos, quat = self._camera_pose(scene_state)
         far = float(self.cfg.clipping_range[1])
+        E = pos.shape[0]
+        N = self._dirs_cam.shape[0]
 
-        def render_one(cam_pos, cam_quat, kin_e):
-            dirs = math_utils.quat_apply(
-                jnp.broadcast_to(cam_quat, (self._dirs_cam.shape[0], 4)),
-                self._dirs_cam,
-            )
-            starts = jnp.broadcast_to(cam_pos, dirs.shape)
-            return _trace(starts, dirs, self._geoms, kin_e, far, self.cfg)
+        q = [quat[:, k : k + 1] for k in range(4)]  # (E, 1) comps
+        o = [pos[:, k : k + 1] for k in range(3)]
+        dc = [jnp.asarray(self._dirs_cam[:, k])[None, :] for k in range(3)]
+        d = _qrot_c(q, dc)  # world ray dirs, 3 x (E, N)
 
-        t, normal, albedo, sem_id, inst_id = jax.vmap(
-            render_one, in_axes=(0, 0, 0)
-        )(pos, quat, kin)
+        t, n, alb, sem_id, inst_id = _trace_c(
+            o, d, self._geoms, kin, far, self.cfg, E, N
+        )
 
         H, W = self.image_shape
-        E = pos.shape[0]
         out = {}
         hit = t < far
         if "rgb" in self.cfg.data_types:
-            l = jnp.asarray(self.cfg.light_dir)
-            l = l / jnp.linalg.norm(l)
-            lambert = jnp.maximum(0.0, -jnp.einsum("enk,k->en", normal, l))
-            shade = self.cfg.ambient + (1.0 - self.cfg.ambient) * lambert
-            rgb = albedo * shade[..., None]
-            rgb = jnp.where(
-                hit[..., None], rgb, jnp.asarray(self.cfg.background_rgb)
+            l = np.asarray(self.cfg.light_dir, dtype=np.float32)
+            l = l / np.linalg.norm(l)
+            lambert = jnp.maximum(
+                0.0, -(n[0] * l[0] + n[1] * l[1] + n[2] * l[2])
             )
-            out["rgb"] = (rgb * 255.0).reshape(E, H, W, 3)
+            shade = self.cfg.ambient + (1.0 - self.cfg.ambient) * lambert
+            bg = self.cfg.background_rgb
+            rgb_c = [
+                jnp.where(hit, alb[k] * shade, bg[k]) * 255.0
+                for k in range(3)
+            ]
+            out["rgb"] = jnp.stack(rgb_c, axis=-1).reshape(E, H, W, 3)
         if "normals" in self.cfg.data_types:
-            out["normals"] = jnp.where(
-                hit[..., None], normal, 0.0
+            out["normals"] = jnp.stack(
+                [jnp.where(hit, n[k], 0.0) for k in range(3)], axis=-1
             ).reshape(E, H, W, 3)
         if "depth" in self.cfg.data_types or (
             "distance_to_image_plane" in self.cfg.data_types
         ):
-            fwd = math_utils.quat_apply(quat, jnp.array([1.0, 0.0, 0.0]))
-            along = jnp.einsum(
-                "enk,ek->en",
-                math_utils.quat_apply(
-                    jnp.broadcast_to(quat[:, None], (E, t.shape[1], 4)),
-                    jnp.broadcast_to(self._dirs_cam[None], (E, t.shape[1], 3)),
-                ),
-                fwd,
-            )
-            depth = (t * along).reshape(E, H, W, 1)
-            depth = jnp.where(t.reshape(E, H, W, 1) < far, depth, far)
+            fwd = _qrot_c(q, [jnp.ones((1, 1)), jnp.zeros((1, 1)),
+                              jnp.zeros((1, 1))])  # camera +x, 3 x (E, 1)
+            along = d[0] * fwd[0] + d[1] * fwd[1] + d[2] * fwd[2]
+            depth = jnp.where(hit, t * along, far).reshape(E, H, W, 1)
             if "depth" in self.cfg.data_types:
                 out["depth"] = depth
             if "distance_to_image_plane" in self.cfg.data_types:
                 out["distance_to_image_plane"] = depth
         if "distance_to_camera" in self.cfg.data_types:
-            out["distance_to_camera"] = jnp.where(t < far, t, far).reshape(
+            out["distance_to_camera"] = jnp.where(hit, t, far).reshape(
                 E, H, W, 1
             )
         if "semantic_segmentation" in self.cfg.data_types:
@@ -300,87 +301,155 @@ Camera = TiledCamera
 # ---------------------------------------------------------------------------
 
 
-def _trace(starts, dirs, geoms, kin, far, cfg):
-    """Nearest-hit trace returning (t, normal, albedo, semantic_id,
-    instance_id), each (N, ...). Ids: 1 = ground, body_index + 2 /
-    geom_index + 2 for hits (0 = miss, applied by the caller)."""
+def _qrot_c(q, v):
+    """Rotate 3-component list ``v`` by quaternion component list ``q``
+    (wxyz); all components broadcastable arrays."""
+    w, x, y, z = q
+    vx, vy, vz = v
+    tx = 2.0 * (y * vz - z * vy)
+    ty = 2.0 * (z * vx - x * vz)
+    tz = 2.0 * (x * vy - y * vx)
+    return [
+        vx + w * tx + (y * tz - z * ty),
+        vy + w * ty + (z * tx - x * tz),
+        vz + w * tz + (x * ty - y * tx),
+    ]
+
+
+def _qrot_inv_c(q, v):
+    w, x, y, z = q
+    return _qrot_c([w, -x, -y, -z], v)
+
+
+def _qmul_c(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return [
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ]
+
+
+def _trace_c(o, d, geoms, kin, far, cfg, E, N):
+    """Nearest-hit trace, batch-level and component-wise: ``o`` 3 x (E, 1)
+    camera origins, ``d`` 3 x (E, N) world ray dirs; every intermediate is
+    (E, N) (rays on lanes — no 3-wide minor dims anywhere). Returns
+    (t, n 3-list, albedo 3-list, semantic_id, instance_id), ids as in the
+    vmapped tracer this replaces (1 = ground, body+2 / geom+2)."""
     from ..physics.model import GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE
-    from .ray_caster import _ray_box, _ray_capsule, _ray_sphere
 
-    N = starts.shape[0]
-    t_best = jnp.full((N,), far)
-    n_best = jnp.zeros((N, 3))
-    a_best = jnp.zeros((N, 3))
-    sem_best = jnp.zeros((N,), jnp.int32)
-    inst_best = jnp.zeros((N,), jnp.int32)
+    t_best = jnp.full((E, N), far)
+    n_best = [jnp.zeros((E, N)) for _ in range(3)]
+    a_best = [jnp.zeros((E, N)) for _ in range(3)]
+    sem_best = jnp.zeros((E, N), jnp.int32)
+    inst_best = jnp.zeros((E, N), jnp.int32)
 
-    # ground plane z=0 (camera tasks are flat-ground; height-field depth
-    # sensing is served by RayCasterCamera)
-    dz = dirs[:, 2]
-    safe_dz = jnp.where(jnp.abs(dz) > 1e-9, dz, 1.0)
-    t_g = jnp.where(jnp.abs(dz) > 1e-9, -starts[:, 2] / safe_dz, far)
+    def take(m, t, n, a, sem, inst):
+        nonlocal t_best, n_best, a_best, sem_best, inst_best
+        t_best = jnp.where(m, t, t_best)
+        n_best = [jnp.where(m, n[k], n_best[k]) for k in range(3)]
+        a_best = [jnp.where(m, a[k], a_best[k]) for k in range(3)]
+        sem_best = jnp.where(m, sem, sem_best)
+        inst_best = jnp.where(m, inst, inst_best)
+
+    # ground plane z=0 with checker albedo
+    safe_dz = jnp.where(jnp.abs(d[2]) > 1e-9, d[2], 1.0)
+    t_g = jnp.where(jnp.abs(d[2]) > 1e-9, -o[2] / safe_dz, far)
     t_g = jnp.where(t_g > 1e-4, t_g, far)
-    n_g = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (N, 3))
-    p_g = starts + dirs * t_g[:, None]
-    checker = (
-        jnp.floor(p_g[:, 0] / cfg.checker_period)
-        + jnp.floor(p_g[:, 1] / cfg.checker_period)
-    ) % 2.0
-    ground_alb = jnp.asarray(cfg.ground_albedo) * (0.75 + 0.25 * checker[:, None])
-    m = t_g < t_best
-    t_best = jnp.where(m, t_g, t_best)
-    n_best = jnp.where(m[:, None], n_g, n_best)
-    a_best = jnp.where(m[:, None], ground_alb, a_best)
-    sem_best = jnp.where(m, 1, sem_best)
-    inst_best = jnp.where(m, 1, inst_best)
+    px = o[0] + d[0] * t_g
+    py = o[1] + d[1] * t_g
+    checker = 0.75 + 0.25 * (
+        (jnp.floor(px / cfg.checker_period)
+         + jnp.floor(py / cfg.checker_period)) % 2.0
+    )
+    g_alb = [cfg.ground_albedo[k] * checker for k in range(3)]
+    take(t_g < t_best, t_g, [jnp.zeros((E, N)), jnp.zeros((E, N)),
+                             jnp.ones((E, N))], g_alb, 1, 1)
 
     for gi, (gtype, size, body, gpos, gquat, color) in enumerate(geoms):
-        bp = kin.body_pos_w[body]
-        bq = kin.body_quat_w[body]
-        pos = bp + math_utils.quat_apply(bq, jnp.asarray(gpos))
-        quat = math_utils.quat_mul(bq, jnp.asarray(gquat))
+        bq = [kin.body_quat_w[:, body, k : k + 1] for k in range(4)]
+        bp = [kin.body_pos_w[:, body, k : k + 1] for k in range(3)]
+        gp = _qrot_c(bq, [float(gpos[0]), float(gpos[1]), float(gpos[2])])
+        pos = [bp[k] + gp[k] for k in range(3)]  # (E, 1)
+        quat = _qmul_c(bq, [float(gquat[0]), float(gquat[1]),
+                            float(gquat[2]), float(gquat[3])])
+        oc = [o[k] - pos[k] for k in range(3)]  # (E, 1)
         if gtype == GEOM_SPHERE:
-            t = _ray_sphere(starts, dirs, pos, float(size[0]), far)
-            p = starts + dirs * t[:, None]
-            n = (p - pos[None]) / float(size[0])
+            r = float(size[0])
+            b = oc[0] * d[0] + oc[1] * d[1] + oc[2] * d[2]
+            c2 = oc[0] ** 2 + oc[1] ** 2 + oc[2] ** 2 - r * r
+            disc = b * b - c2
+            t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = jnp.where((disc >= 0.0) & (t > 1e-4), t, far)
+            n = [(oc[k] + d[k] * t) / r for k in range(3)]
         elif gtype == GEOM_BOX:
-            half = jnp.asarray(np.asarray(size[:3], dtype=np.float32))
-            t = _ray_box(starts, dirs, pos, quat, half, far)
-            p = starts + dirs * t[:, None]
-            lp = math_utils.quat_apply_inverse(
-                jnp.broadcast_to(quat, (N, 4)), p - pos[None]
-            )
-            rel = jnp.abs(lp) / half[None]
-            ax = jnp.argmax(rel, axis=-1)
-            n_local = jax.nn.one_hot(ax, 3) * jnp.sign(
-                jnp.take_along_axis(lp, ax[:, None], axis=-1)
-            )
-            n = math_utils.quat_apply(jnp.broadcast_to(quat, (N, 4)), n_local)
+            half = [float(v) for v in size[:3]]
+            ol = _qrot_inv_c(quat, oc)  # (E, 1)
+            dl = _qrot_inv_c(quat, d)  # (E, N)
+            tmin = jnp.full((E, N), -jnp.inf)
+            tmax = jnp.full((E, N), jnp.inf)
+            t1s, t2s = [], []
+            for k in range(3):
+                inv = 1.0 / jnp.where(
+                    jnp.abs(dl[k]) > 1e-9, dl[k],
+                    jnp.sign(dl[k]) * 1e-9 + 1e-12,
+                )
+                t1 = (-half[k] - ol[k]) * inv
+                t2 = (half[k] - ol[k]) * inv
+                t1s.append(jnp.minimum(t1, t2))
+                t2s.append(jnp.maximum(t1, t2))
+                tmin = jnp.maximum(tmin, t1s[-1])
+                tmax = jnp.minimum(tmax, t2s[-1])
+            valid = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin > 1e-4)
+            t = jnp.where(valid, tmin, far)
+            # face normal: the axis whose near-slab produced tmin
+            n_local = []
+            for k in range(3):
+                hitk = t1s[k] >= tmin  # tmin == max of mins
+                n_local.append(
+                    jnp.where(hitk, -jnp.sign(dl[k]), 0.0)
+                )
+            n = _qrot_c(quat, n_local)
         elif gtype in (GEOM_CAPSULE, GEOM_CYLINDER):
             r, hl = float(size[0]), float(size[1])
-            t = _ray_capsule(starts, dirs, pos, quat, r, hl, far)
-            p = starts + dirs * t[:, None]
-            lp = math_utils.quat_apply_inverse(
-                jnp.broadcast_to(quat, (N, 4)), p - pos[None]
+            ol = _qrot_inv_c(quat, oc)
+            dl = _qrot_inv_c(quat, d)
+            a_ = dl[0] ** 2 + dl[1] ** 2
+            b_ = ol[0] * dl[0] + ol[1] * dl[1]
+            c_ = ol[0] ** 2 + ol[1] ** 2 - r * r
+            disc = b_ * b_ - a_ * c_
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_cyl = (-b_ - sq) / jnp.where(a_ > 1e-12, a_, 1e-12)
+            z_hit = ol[2] + t_cyl * dl[2]
+            cyl_ok = (disc >= 0) & (t_cyl > 1e-4) & (jnp.abs(z_hit) <= hl)
+            t = jnp.where(cyl_ok, t_cyl, far)
+            for sz in (-1.0, 1.0):
+                ocz = ol[2] - sz * hl
+                bb = ol[0] * dl[0] + ol[1] * dl[1] + ocz * dl[2]
+                cc = ol[0] ** 2 + ol[1] ** 2 + ocz**2 - r * r
+                dd = bb * bb - cc
+                tt = -bb - jnp.sqrt(jnp.maximum(dd, 0.0))
+                t = jnp.minimum(t, jnp.where((dd >= 0) & (tt > 1e-4), tt, far))
+            # normal: radial off the clamped axis point
+            pl = [ol[k] + dl[k] * t for k in range(3)]
+            zc = jnp.clip(pl[2], -hl, hl)
+            n_local = [pl[0], pl[1], pl[2] - zc]
+            nn = jnp.sqrt(
+                n_local[0] ** 2 + n_local[1] ** 2 + n_local[2] ** 2
             )
-            zc = jnp.clip(lp[:, 2:3], -hl, hl)
-            n_local = lp - jnp.concatenate(
-                [jnp.zeros((N, 2)), zc], axis=-1
-            )
-            n_local = n_local / jnp.maximum(
-                jnp.linalg.norm(n_local, axis=-1, keepdims=True), 1e-9
-            )
-            n = math_utils.quat_apply(jnp.broadcast_to(quat, (N, 4)), n_local)
+            inv_nn = 1.0 / jnp.maximum(nn, 1e-9)
+            n = _qrot_c(quat, [c * inv_nn for c in n_local])
         else:
             continue
-        m = t < t_best
-        t_best = jnp.where(m, t, t_best)
-        n_best = jnp.where(m[:, None], n, n_best)
-        a_best = jnp.where(m[:, None], jnp.asarray(color)[None], a_best)
-        sem_best = jnp.where(m, body + 2, sem_best)
-        inst_best = jnp.where(m, gi + 2, inst_best)
+        take(
+            t < t_best, t, n,
+            [jnp.full((E, N), float(color[k])) for k in range(3)],
+            body + 2, gi + 2,
+        )
 
     # normals face the ray origin
-    flip = jnp.sum(n_best * dirs, axis=-1) > 0.0
-    n_best = jnp.where(flip[:, None], -n_best, n_best)
+    flip = (n_best[0] * d[0] + n_best[1] * d[1] + n_best[2] * d[2]) > 0.0
+    n_best = [jnp.where(flip, -c, c) for c in n_best]
     return t_best, n_best, a_best, sem_best, inst_best
