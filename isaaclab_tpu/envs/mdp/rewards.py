@@ -362,18 +362,18 @@ def object_goal_distance(env, std: float, minimal_height: float,
 
 def position_command_error_tanh_2d(env, std: float, command_name: str,
                                    asset_cfg: SceneEntityCfg = _DEFAULT):
-    """tanh-shaped xy-distance to a world-frame (x, y, heading) pose command
-    (reference navigation mdp position tracking)."""
-    data = env.scene[asset_cfg.name].data
+    """tanh-shaped distance to a pose-2d command (reference
+    navigation/mdp/rewards.py:position_command_error_tanh). The command is
+    already base-frame (pos_b x, y, z, heading_b) so the distance is just
+    its norm."""
     cmd = env.command_manager.get_command(command_name)
-    err = jnp.linalg.norm(cmd[:, :2] - data.root_pos_w[:, :2], axis=-1)
+    err = jnp.linalg.norm(cmd[:, :3], axis=-1)
     return 1.0 - jnp.tanh(err / std)
 
 
 def heading_command_error_abs(env, command_name: str,
                               asset_cfg: SceneEntityCfg = _DEFAULT):
-    """|heading error| against a world-frame pose-2d command
-    (reference navigation mdp heading tracking)."""
-    data = env.scene[asset_cfg.name].data
+    """|base-frame heading error| of a pose-2d command (reference
+    navigation/mdp/rewards.py:heading_command_error_abs)."""
     cmd = env.command_manager.get_command(command_name)
-    return jnp.abs(math_utils.wrap_to_pi(cmd[:, 2] - data.heading_w))
+    return jnp.abs(cmd[:, 3])

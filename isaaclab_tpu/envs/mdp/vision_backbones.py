@@ -198,6 +198,21 @@ def load_backbone(model_name: str = "resnet18"):
             break
     if params is None:
         params = random_init_params(model_name)
+        # Reference behavior loads ImageNet-pretrained torchvision weights
+        # (envs/mdp/observations.py:234); training on He-init features is a
+        # functional divergence the user must not discover silently.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "vision backbone '%s': NO pretrained weights found — falling back "
+            "to deterministic He-init features. Frozen-backbone observations "
+            "(image_features) will NOT match the reference's ImageNet "
+            "features. Convert a torchvision checkpoint with "
+            "tools/convert_vision_weights.py and set "
+            "ISAACLAB_TPU_VISION_WEIGHTS (or drop the .npz into "
+            "isaaclab_tpu/data/).",
+            model_name,
+        )
 
     def apply(x):
         return resnet_apply(params, x, model_name)

@@ -21,6 +21,21 @@ from ..utils.configclass import configclass
 
 
 @configclass
+class FlatPatchSamplingCfg:
+    """Flat-patch sampling knobs (reference terrain_generator_cfg.py:27
+    ``FlatPatchSamplingCfg``): where robots/targets may spawn on a
+    sub-terrain. Patches are found on the generated height field directly
+    (reference ray-casts a warp mesh, ``terrains/utils.py:find_flat_patches``)."""
+
+    num_patches: int = MISSING
+    patch_radius: float = MISSING  # meters (single radius; list unsupported)
+    x_range: tuple = (-1e6, 1e6)  # relative to sub-terrain center
+    y_range: tuple = (-1e6, 1e6)
+    z_range: tuple = (-1e6, 1e6)
+    max_height_diff: float = MISSING
+
+
+@configclass
 class SubTerrainCfg:
     """Common sub-terrain knobs (reference hf_terrains_cfg.py)."""
 
@@ -31,6 +46,8 @@ class SubTerrainCfg:
     vertical_scale: float = 0.005
     slope_threshold: float = None
     platform_width: float = 1.0
+    # name -> FlatPatchSamplingCfg (reference SubTerrainBaseCfg.flat_patch_sampling)
+    flat_patch_sampling: dict = None
 
 
 def _grid_shape(cfg):

@@ -143,6 +143,14 @@ class TerrainImporter:
         self.env_origins = np.zeros((num_envs, 3), dtype=np.float32)
 
     # ------------------------------------------------------------------
+    @property
+    def flat_patches(self) -> dict:
+        """key -> (rows, cols, num_patches, 3) valid points in the terrain
+        frame (reference terrain_importer.py:125)."""
+        if self.generator is None:
+            return {}
+        return self.generator.flat_patches
+
     def _offsets_for(self, levels, types):
         return jnp.asarray(self._cell_origins)[levels, types]
 
