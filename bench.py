@@ -120,16 +120,19 @@ def _measure_step(env, num_envs, steps_per_call=32, seconds=3.0):
     @jax.jit
     def run_chunk(s, key):
         # action buffers created INSIDE the trace — closing over an eager
-        # device array forces a trace-time d2h copy over the axon tunnel
-        def body(carry, k):
-            action = jax.random.uniform(
-                k, (num_envs, act_dim), minval=-1.0, maxval=1.0
-            )
+        # device array forces a trace-time d2h copy over the axon tunnel.
+        # All actions for the chunk come from ONE batched RNG call: a
+        # per-step split+uniform costs as much as the whole cartpole physics
+        # step and was the r1->r3 "cartpole regression" (31.3M -> 20.5M).
+        actions = jax.random.uniform(
+            key, (steps_per_call, num_envs, act_dim), minval=-1.0, maxval=1.0
+        )
+
+        def body(carry, action):
             s2, _out = env.step_state(carry, action)
             return s2, None
 
-        keys = jax.random.split(key, steps_per_call)
-        s, _ = jax.lax.scan(body, s, keys)
+        s, _ = jax.lax.scan(body, s, actions)
         return s
 
     return _time_loop(run_chunk, state, steps_per_call, num_envs, seconds,

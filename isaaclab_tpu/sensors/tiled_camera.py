@@ -88,6 +88,12 @@ class TiledCameraState(NamedTuple):
     output: dict  # data_type -> (E, H, W, C)
     pos_w: jnp.ndarray  # (E, 3)
     quat_w: jnp.ndarray  # (E, 4)
+    # previous-frame scene poses for the motion_vectors annotator (None when
+    # not requested): (E, nbody, 3) / (E, nbody, 4) and an (E,) validity flag
+    # cleared on env reset (first frame after a teleport has no motion)
+    prev_body_pos: jnp.ndarray = None
+    prev_body_quat: jnp.ndarray = None
+    prev_valid: jnp.ndarray = None
 
 
 class TiledCameraData:
@@ -177,16 +183,32 @@ class TiledCamera(SensorBase):
         seg_types = ("semantic_segmentation", "instance_segmentation_fast",
                      "instance_id_segmentation_fast")
         for dt in self.cfg.data_types:
-            C = 3 if dt in ("rgb", "normals") else 1  # seg types are 1-ch ids
+            if dt in ("rgb", "normals"):
+                C = 3
+            elif dt == "motion_vectors":
+                C = 2  # image-space (x, y), reference tiled_camera.py:367
+            else:
+                C = 1  # seg types are 1-ch ids
             # segmentation ids are int32 in update(); allocating float32 here
             # would flip the state pytree dtype after the first step and break
             # lax.scan-carried rollouts (ADVICE r3)
             dtype = jnp.int32 if dt in seg_types else jnp.float32
             out[dt] = jnp.zeros((num_envs, H, W, C), dtype=dtype)
+        kwargs = {}
+        if "motion_vectors" in self.cfg.data_types:
+            B = self._scene.world_model.nbody
+            kwargs = dict(
+                prev_body_pos=jnp.zeros((num_envs, B, 3)),
+                prev_body_quat=jnp.tile(
+                    jnp.asarray([1.0, 0.0, 0.0, 0.0]), (num_envs, B, 1)
+                ),
+                prev_valid=jnp.zeros((num_envs,), dtype=bool),
+            )
         return TiledCameraState(
             output=out,
             pos_w=jnp.zeros((num_envs, 3)),
             quat_w=jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (num_envs, 1)),
+            **kwargs,
         )
 
     # ------------------------------------------------------------------
@@ -270,9 +292,76 @@ class TiledCamera(SensorBase):
                     "instance_id_segmentation_fast"):
             if key in self.cfg.data_types:
                 out[key] = jnp.where(hit, inst_id, 0).reshape(E, H, W, 1)
-        return TiledCameraState(output=out, pos_w=pos, quat_w=quat)
+
+        kwargs = {}
+        if "motion_vectors" in self.cfg.data_types:
+            # Frame-to-frame reprojection (the RTX motion-vector annotator,
+            # reference camera.py:53 / tiled_camera.py:272): for each hit,
+            # transform the hit point into its body's frame, re-pose it with
+            # the PREVIOUS body pose, project into the PREVIOUS camera, and
+            # take the image-space displacement in pixels (x right, y down).
+            p = [o[k] + d[k] * t for k in range(3)]  # (E, N) hit points
+            bid = jnp.clip(sem_id - 2, 0, kin.body_pos_w.shape[1] - 1)
+            moving = sem_id >= 2  # ground/background pixels only see cam motion
+            bq_c = [jnp.take_along_axis(kin.body_quat_w[:, :, k], bid, axis=1)
+                    for k in range(4)]
+            bp_c = [jnp.take_along_axis(kin.body_pos_w[:, :, k], bid, axis=1)
+                    for k in range(3)]
+            pq_c = [jnp.take_along_axis(state.prev_body_quat[:, :, k], bid,
+                                        axis=1) for k in range(4)]
+            pp_c = [jnp.take_along_axis(state.prev_body_pos[:, :, k], bid,
+                                        axis=1) for k in range(3)]
+            local = _qrot_inv_c(bq_c, [p[k] - bp_c[k] for k in range(3)])
+            prev_w_body = _qrot_c(pq_c, local)
+            prev_p = [
+                jnp.where(moving, pp_c[k] + prev_w_body[k], p[k])
+                for k in range(3)
+            ]
+            # current pixel grid (static) and previous-frame projection
+            W_, H_ = self.cfg.width, self.cfg.height
+            col_cur = jnp.tile(
+                (jnp.arange(W_, dtype=jnp.float32))[None, :], (H_, 1)
+            ).reshape(1, N)
+            row_cur = jnp.tile(
+                (jnp.arange(H_, dtype=jnp.float32))[:, None], (1, W_)
+            ).reshape(1, N)
+            pq = [state.quat_w[:, k : k + 1] for k in range(4)]
+            po = [state.pos_w[:, k : k + 1] for k in range(3)]
+            col_prev, row_prev, in_front = self._project_c(pq, po, prev_p)
+            valid = hit & in_front & state.prev_valid[:, None]
+            mx = jnp.where(valid, col_cur - col_prev, 0.0)
+            my = jnp.where(valid, row_cur - row_prev, 0.0)
+            out["motion_vectors"] = jnp.stack([mx, my], axis=-1).reshape(
+                E, H, W, 2
+            )
+            kwargs = dict(
+                prev_body_pos=kin.body_pos_w,
+                prev_body_quat=kin.body_quat_w,
+                prev_valid=jnp.ones((E,), dtype=bool),
+            )
+        return TiledCameraState(output=out, pos_w=pos, quat_w=quat, **kwargs)
+
+    def _project_c(self, q, o, p):
+        """Project world points ``p`` (3 x (E, N) comps) into the camera at
+        pose (q, o): returns (col, row, in_front) pixel coords in the same
+        (+x forward / +y left / +z up) render frame the ray fan uses."""
+        cam = _qrot_inv_c(q, [p[k] - o[k] for k in range(3)])
+        x = jnp.where(cam[0] > 1e-6, cam[0], 1e-6)
+        W, H = self.cfg.width, self.cfg.height
+        ap_h = self.cfg.horizontal_aperture
+        ap_v = ap_h * H / W
+        f = self.cfg.focal_length
+        u = -(cam[1] / x) * (f / ap_h)  # [-0.5, 0.5] left->right
+        v = -(cam[2] / x) * (f / ap_v)
+        col = (u + 0.5) * W - 0.5
+        row = (v + 0.5) * H - 0.5
+        return col, row, cam[0] > 1e-6
 
     def reset(self, state, env_mask, key=None):
+        if state.prev_valid is not None:
+            return state._replace(
+                prev_valid=jnp.where(env_mask, False, state.prev_valid)
+            )
         return state
 
     def data_view(self, state: TiledCameraState) -> TiledCameraData:

@@ -208,3 +208,82 @@ class TestTiledCameraSegmentation:
         out2 = state2.scene.sensors["tiled_camera"].output
         for k in out0:
             assert out0[k].dtype == out2[k].dtype, k
+
+
+class TestTiledCameraMotionVectors:
+    """motion_vectors annotator (reference camera.py:53, tiled_camera.py:367:
+    (E, H, W, 2) image-space motion) — analytic frame-to-frame reprojection."""
+
+    def test_motion_vectors_track_moving_body(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from isaaclab_tpu.envs import ManagerBasedRLEnv
+        from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_camera_env_cfg import (
+            CartpoleRGBCameraEnvCfg,
+        )
+
+        cfg = CartpoleRGBCameraEnvCfg()
+        cfg.scene.num_envs = 2
+        cfg.scene.tiled_camera.data_types = [
+            "rgb", "motion_vectors", "semantic_segmentation",
+        ]
+        env = ManagerBasedRLEnv(cfg)
+        state = jax.jit(env.init_state)(jax.random.PRNGKey(0))
+        mv0 = np.asarray(
+            state.scene.sensors["tiled_camera"].output["motion_vectors"]
+        )
+        assert mv0.shape[-1] == 2
+        # first rendered frame has no previous pose -> zero flow
+        np.testing.assert_allclose(mv0, 0.0)
+
+        # constant push -> the cart accelerates toward the camera (its slide
+        # runs along the view axis, so lateral cart flow is ~0) and the POLE
+        # swings, producing real vertical image motion on its pixels
+        act = jnp.full((2, env.action_manager.total_action_dim), 1.0)
+        step = jax.jit(env.step_state)
+        for _ in range(8):
+            state, _ = step(state, act)
+        cam = state.scene.sensors["tiled_camera"]
+        mv = np.asarray(cam.output["motion_vectors"])[0]
+        sem = np.asarray(cam.output["semantic_segmentation"])[0, ..., 0]
+        assert np.isfinite(mv).all()
+        pole = sem == sem.max()
+        assert sem.max() >= 2 and pole.any(), "pole not visible"
+        # the swinging pole must show clear vertical motion (px/frame)
+        assert np.abs(mv[..., 1][pole]).max() > 0.5, (
+            "no vertical flow on the swinging pole"
+        )
+        # background/ground pixels see no flow (static camera, static world)
+        bg = sem < 2
+        assert np.abs(mv[..., 0][bg]).max() < 5e-3  # fp32 reprojection noise
+        assert np.abs(mv[..., 1][bg]).max() < 5e-3
+
+    def test_motion_vectors_scan_and_reset(self):
+        """Flow state threads through lax.scan and resets clear validity."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from isaaclab_tpu.envs import ManagerBasedRLEnv
+        from isaaclab_tpu.tasks.manager_based.classic.cartpole.cartpole_camera_env_cfg import (
+            CartpoleRGBCameraEnvCfg,
+        )
+
+        cfg = CartpoleRGBCameraEnvCfg()
+        cfg.scene.num_envs = 2
+        cfg.scene.tiled_camera.data_types = ["rgb", "motion_vectors"]
+        env = ManagerBasedRLEnv(cfg)
+        state = jax.jit(env.init_state)(jax.random.PRNGKey(0))
+        act = jnp.zeros((2, env.action_manager.total_action_dim))
+
+        def body(carry, _):
+            s, _out = env.step_state(carry, act)
+            return s, None
+
+        state2, _ = jax.lax.scan(body, state, None, length=3)
+        assert np.isfinite(
+            np.asarray(state2.scene.sensors["tiled_camera"].output[
+                "motion_vectors"])
+        ).all()

@@ -16,7 +16,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -40,14 +40,15 @@ def main():
 
     @jax.jit
     def run_chunk(s, key):
-        def body(carry, k):
-            action = jax.random.uniform(
-                k, (num_envs, act_dim), minval=-1.0, maxval=1.0)
+        # one batched RNG call for the whole chunk (matches bench.py)
+        actions = jax.random.uniform(
+            key, (spc, num_envs, act_dim), minval=-1.0, maxval=1.0)
+
+        def body(carry, action):
             s2, _out = env.step_state(carry, action)
             return s2, None
 
-        keys = jax.random.split(key, spc)
-        s, _ = jax.lax.scan(body, s, keys)
+        s, _ = jax.lax.scan(body, s, actions)
         return s
 
     key = jax.random.PRNGKey(1)
