@@ -543,37 +543,14 @@ def solve_constraints_batch(
             contact_force_w=jnp.zeros((E, 0, 3)),
         )
 
-    from .pallas_contact import contact_solve_fused, use_fused_contact_kernel
-
-    if ncon and use_fused_contact_kernel(ncon):
-        # fused VMEM-resident path: Jacobian assembly + triangular solves +
-        # APGD all in one Pallas kernel; inputs are the small per-env
-        # vectors, not the (E, nv, R) HBM tensors (pallas_contact.py)
-        qd, lam = contact_solve_fused(
-            model, kin_b, L_comps, v_free, contacts_b, q_arts, dt, cfg,
-            limit_lower=(
-                jnp.broadcast_to(jnp.asarray(model.dof_limit_lower),
-                                 q_arts.shape)
-                if limit_lower is None else limit_lower),
-            limit_upper=(
-                jnp.broadcast_to(jnp.asarray(model.dof_limit_upper),
-                                 q_arts.shape)
-                if limit_upper is None else limit_upper),
-            warm_lambda=warm_lambda,
-        )
-        imp = jnp.stack(
-            [lam[:, :ncon], lam[:, ncon:2 * ncon], lam[:, 2 * ncon:3 * ncon]],
-            axis=-1,
-        )
-        t1, t2 = tangent_basis(contacts_b.normal)
-        contact_force_w = (
-            contacts_b.normal * imp[..., 0:1]
-            + t1 * imp[..., 1:2]
-            + t2 * imp[..., 2:3]
-        ) / dt
-        return SolveResult(qd=qd, contact_impulse=imp,
-                           contact_force_w=contact_force_w)
-
+    # NOTE on the retired Pallas contact kernel (round 4/5 decision): a fused
+    # VMEM-resident kernel (Jacobian assembly + triangular solves + APGD in
+    # one pallas_call) measured 3.2x SLOWER than this XLA path on rough
+    # locomotion — its env-block grid serializes on the single TensorCore and
+    # VMEM capped blocks at 56-88 envs, so the batch ran as ~50-150
+    # sequential latency-bound blocks while XLA runs full-batch (4096-wide)
+    # fused vector ops. The XLA path IS the design; see
+    # artifacts/r05/PERF_NOTES.md.
     if ncon:
         J_t = contact_jacobians_t_batch(model, kin_b, contacts_b)
     else:

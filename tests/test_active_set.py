@@ -72,8 +72,7 @@ def _solve(model, plan, q, qd, active):
     return run(q, qd, warm)
 
 
-def test_topk_exact_when_covering(plate_world, monkeypatch):
-    monkeypatch.setenv("ISAACLAB_TPU_FUSED_SOLVER", "0")
+def test_topk_exact_when_covering(plate_world):
     model, plan = plate_world
     E = 4
     key = jax.random.PRNGKey(0)
@@ -100,10 +99,9 @@ def test_topk_exact_when_covering(plate_world, monkeypatch):
     assert r1.contact_force_w.shape == (E, plan.ncon, 3)
 
 
-def test_topk_keeps_deepest_when_oversubscribed(plate_world, monkeypatch):
+def test_topk_keeps_deepest_when_oversubscribed(plate_world):
     """With more touching candidates than K, the kept rows are the deepest
     — the resting plate still gets supported (no fall-through)."""
-    monkeypatch.setenv("ISAACLAB_TPU_FUSED_SOLVER", "0")
     model, plan = plate_world
     E = 2
     q = jnp.tile(jnp.asarray(model.default_qpos()), (E, 1))
