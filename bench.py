@@ -62,10 +62,13 @@ BASELINES = {
     # Anymal-velocity (no reference 3-column row exists at this size)
     "anymal_flat_env_step_fps_8192envs_1chip": (5_000_000.0, None, None),
 }
-# Per-workload subprocess wall clamp (compile can take minutes cold).
-WORKLOAD_TIMEOUT_S = float(os.environ.get("BENCH_WORKLOAD_TIMEOUT", 1200))
-# Whole-bench wall clamp — must sit WELL under the driver's own budget.
-GLOBAL_DEADLINE_S = float(os.environ.get("BENCH_GLOBAL_DEADLINE", 2100))
+# Per-workload subprocess wall clamp (compile can take minutes cold; the
+# shadow step alone compiles ~20-30 min on the axon backend).
+WORKLOAD_TIMEOUT_S = float(os.environ.get("BENCH_WORKLOAD_TIMEOUT", 2400))
+# Whole-bench wall clamp. Generous on purpose: rows STREAM to stdout as
+# they are measured, so if the driver's own budget expires first, every
+# already-printed row survives — only the in-flight workload is lost.
+GLOBAL_DEADLINE_S = float(os.environ.get("BENCH_GLOBAL_DEADLINE", 4500))
 # Below this remaining budget a workload runs step-only; below the skip
 # threshold it is not attempted at all.
 STEP_ONLY_THRESHOLD_S = 420.0
@@ -282,13 +285,17 @@ WORKLOADS = {
         make_anymal_rough, "Isaac-Velocity-Rough-Anymal-C-v0",
         "BENCH_ROUGH_ENVS", 4096, 32, "Isaac-Velocity-Rough-G1-v0",
     ),
-    "shadow_repose_env_step_fps_8192envs_1chip": (
-        make_shadow, "Isaac-Repose-Cube-Shadow-Direct-v0",
-        "BENCH_SHADOW_ENVS", 8192, 32, None,
-    ),
     "cartpole_camera_env_step_fps_1024envs_1chip": (
         make_cartpole_camera, "Isaac-Cartpole-RGB-v0",
         "BENCH_CAMERA_ENVS", 1024, 16, "Isaac-Cartpole-RGB-Camera-Direct-v0",
+    ),
+    # shadow LAST: its step graph alone compiles for ~20+ min on the axon
+    # backend (no executable serialization -> the persistent cache cannot
+    # help); every cheaper row must already be on stdout when the driver's
+    # wall clamp lands
+    "shadow_repose_env_step_fps_8192envs_1chip": (
+        make_shadow, "Isaac-Repose-Cube-Shadow-Direct-v0",
+        "BENCH_SHADOW_ENVS", 8192, 32, None,
     ),
 }
 

@@ -1,11 +1,17 @@
 """Visualization markers (reference ``isaaclab/markers/``, SURVEY.md §2.15).
 
-No renderer on TPU: markers record their data to an in-memory log channel so
-debug-vis call sites keep the reference API (``visualize(...)``) and tooling
-can dump marker streams to disk for offline viewers.
+No renderer on TPU: markers keep the reference instancer SEMANTICS
+(prototypes, persistent instance buffers, partial updates, dynamic counts)
+and replace the viewport with offline export — OBJ frames any mesh viewer
+can replay, or an npz trace for notebooks.
 """
 
 from .visualization_markers import (  # noqa: F401
+    ArrowMarkerCfg,
+    CuboidMarkerCfg,
+    CylinderMarkerCfg,
+    FrameMarkerCfg,
+    SphereMarkerCfg,
     VisualizationMarkers,
     VisualizationMarkersCfg,
 )

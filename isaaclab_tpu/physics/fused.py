@@ -470,6 +470,43 @@ def chol_solve_slabs(L, B):
 # ---------------------------------------------------------------------------
 
 
+def _barrier_enabled(model: RobotModel) -> bool:
+    """Whether to cut the fused graph into fusion-bounded phases with
+    ``lax.optimization_barrier``. The unrolled scalar formulation emits one
+    enormous elementwise region (~32k HLO ops at shadow size, nv=29) and
+    XLA:TPU's fusion/scheduling passes go strongly superlinear on it — the
+    shadow step compiled for 19-28 MINUTES. Barriers after FK / inertias+
+    bias / H+Cholesky cap each fusion at a few thousand ops; the cost is
+    materializing ~400 (E,) intermediates to HBM per substep (~tens of µs
+    at E=8192). Default: on for nv >= 24 where the compile blowup bites;
+    override with ISAACLAB_TPU_FUSED_BARRIERS=0/1."""
+    import os
+
+    flag = os.environ.get("ISAACLAB_TPU_FUSED_BARRIERS")
+    if flag is not None:
+        return flag != "0"
+    return model.nv >= 24
+
+
+def _barrier(enabled, *trees):
+    """Optimization-barrier the ARRAY leaves of component pytrees, leaving
+    python-float structural zeros/constants untouched (barriering them would
+    turn them into traced arrays and defeat the sparsity skips). No-op when
+    ``enabled`` is false."""
+    if not enabled:
+        return trees if len(trees) > 1 else trees[0]
+    import jax
+
+    leaves, treedef = jax.tree.flatten(trees)
+    arr_idx = [i for i, l in enumerate(leaves) if hasattr(l, "dtype")]
+    if arr_idx:
+        barred = jax.lax.optimization_barrier([leaves[i] for i in arr_idx])
+        for i, b in zip(arr_idx, barred):
+            leaves[i] = b
+    out = jax.tree.unflatten(treedef, leaves)
+    return out if len(trees) > 1 else out[0]
+
+
 class FreeDynamics(NamedTuple):
     v_free: jnp.ndarray  # (E, nv)
     kin: Kinematics  # batched (leading E)
@@ -494,9 +531,11 @@ def free_dynamics_batch(
     the Cholesky factor components for downstream constraint solves.
     """
     E = q.shape[0]
+    barriers = _barrier_enabled(model)
     qc = [q[:, i] for i in range(model.nq)]
     qdc = [qd[:, i] for i in range(model.nv)]
     fk = _fk_components(model, qc)
+    fk = _barrier(barriers, fk)
 
     # --- body spatial inertias at the origin ---
     inertias = []
@@ -564,6 +603,7 @@ def free_dynamics_batch(
         vs = int(model.v_start[b])
         for k in range(int(model.v_dim[b])):
             C[vs + k] = _dot6(fk.phi[vs + k], f[b])
+    C, inertias = _barrier(barriers, C, inertias)
 
     # --- composite inertias + mass matrix (CRBA at the origin) ---
     Ic = list(inertias)
@@ -600,6 +640,7 @@ def free_dynamics_batch(
             H[hi][lo] = H[hi][lo] + val
 
     L = chol_comps(H, model.nv)
+    L = _barrier(barriers, L)
 
     rhs = [tau_v[:, d] - C[d] for d in range(model.nv)]
     qdd = chol_solve_comps(L, rhs)

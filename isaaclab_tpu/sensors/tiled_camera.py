@@ -185,6 +185,8 @@ class TiledCamera(SensorBase):
         for dt in self.cfg.data_types:
             if dt in ("rgb", "normals"):
                 C = 3
+            elif dt == "rgba":
+                C = 4
             elif dt == "motion_vectors":
                 C = 2  # image-space (x, y), reference tiled_camera.py:367
             else:
@@ -252,7 +254,7 @@ class TiledCamera(SensorBase):
         H, W = self.image_shape
         out = {}
         hit = t < far
-        if "rgb" in self.cfg.data_types:
+        if "rgb" in self.cfg.data_types or "rgba" in self.cfg.data_types:
             l = np.asarray(self.cfg.light_dir, dtype=np.float32)
             l = l / np.linalg.norm(l)
             lambert = jnp.maximum(
@@ -264,7 +266,13 @@ class TiledCamera(SensorBase):
                 jnp.where(hit, alb[k] * shade, bg[k]) * 255.0
                 for k in range(3)
             ]
-            out["rgb"] = jnp.stack(rgb_c, axis=-1).reshape(E, H, W, 3)
+            if "rgb" in self.cfg.data_types:
+                out["rgb"] = jnp.stack(rgb_c, axis=-1).reshape(E, H, W, 3)
+            if "rgba" in self.cfg.data_types:
+                # opaque render: alpha saturates (reference RTX rgba)
+                out["rgba"] = jnp.stack(
+                    rgb_c + [jnp.full_like(rgb_c[0], 255.0)], axis=-1
+                ).reshape(E, H, W, 4)
         if "normals" in self.cfg.data_types:
             out["normals"] = jnp.stack(
                 [jnp.where(hit, n[k], 0.0) for k in range(3)], axis=-1

@@ -15,7 +15,7 @@ the relevant compute roof is the VPU's ~4 TFLOP/s f32; the report prints
 all three roofs and lets the numbers speak.
 
 Usage: python tools/mfu_report.py [workload ...] (default: flat rough)
-Writes artifacts/r04/MFU.md and prints the table.
+Writes artifacts/r05/MFU.md and prints the table.
 """
 
 import os
@@ -85,15 +85,16 @@ def analyze(name, num_envs, chunk=32, seconds=4.0):
     )
 
     def run_chunk(s, key):
-        def body(carry, k):
-            action = jax.random.uniform(
-                k, (num_envs, act_dim), minval=-1.0, maxval=1.0
-            )
+        # one batched RNG call for the chunk's actions (matches bench.py)
+        actions = jax.random.uniform(
+            key, (chunk, num_envs, act_dim), minval=-1.0, maxval=1.0
+        )
+
+        def body(carry, action):
             s2, _ = env.step_state(carry, action)
             return s2, None
 
-        keys = jax.random.split(key, chunk)
-        s, _ = jax.lax.scan(body, s, keys)
+        s, _ = jax.lax.scan(body, s, actions)
         return s
 
     lowered = jax.jit(run_chunk).lower(state, jax.random.PRNGKey(1))
@@ -158,8 +159,8 @@ def main():
             f"AI {r['arith_intensity']:.2f} FLOP/byte",
             flush=True,
         )
-    os.makedirs("artifacts/r04", exist_ok=True)
-    with open("artifacts/r04/MFU.md", "w") as f:
+    os.makedirs("artifacts/r05", exist_ok=True)
+    with open("artifacts/r05/MFU.md", "w") as f:
         f.write(
             "# Roofline / MFU report\n\n"
             "FLOP and HBM-byte counts from XLA cost analysis of the compiled "
@@ -182,7 +183,7 @@ def main():
             "a row far from every roof is latency/occupancy-bound "
             "(small per-step kernels, dispatch overhead).\n"
         )
-    print("wrote artifacts/r04/MFU.md")
+    print("wrote artifacts/r05/MFU.md")
 
 
 if __name__ == "__main__":
