@@ -65,6 +65,22 @@ class ActionManager(ManagerBase):
     def total_action_dim(self) -> int:
         return sum(t.action_dim for t in self._terms)
 
+    def get_active_iterable_terms(self, state: "ActionManagerState",
+                                  env_idx: int):
+        """[(term_name, values)] for one env (reference
+        manager_base.py:231 / action_manager.py) — each term's slice of the
+        last raw action."""
+        import numpy as np
+
+        out = []
+        idx = 0
+        action = np.asarray(state.action[env_idx])
+        for name, term in zip(self._term_names, self._terms):
+            d = term.action_dim
+            out.append((name, action[idx: idx + d].tolist()))
+            idx += d
+        return out
+
     def init_state(self, num_envs: int) -> ActionManagerState:
         D = self.total_action_dim
         return ActionManagerState(

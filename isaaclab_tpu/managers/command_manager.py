@@ -89,6 +89,16 @@ class CommandManager(ManagerBase):
         """Reference ``command_manager.get_command`` — read by mdp terms."""
         return state[name].command
 
+    def get_active_iterable_terms(self, state: dict, env_idx: int):
+        """[(term_name, values)] for one env (reference
+        command_manager.py get_active_iterable_terms)."""
+        import numpy as np
+
+        return [
+            (name, np.asarray(state[name].command[env_idx]).reshape(-1).tolist())
+            for name in self._term_names
+        ]
+
     def get_term(self, name: str) -> CommandTerm:
         return self._terms[self._term_names.index(name)]
 

@@ -26,6 +26,15 @@ class CurriculumManager(ManagerBase):
     def active_terms(self):
         return self._term_names
 
+    def get_active_iterable_terms(self, state: dict, env_idx: int):
+        """[(term_name, values)] for one env (reference manager_base.py:231)."""
+        import numpy as np
+
+        return [
+            (name, np.asarray(state[name][env_idx]).reshape(-1).tolist())
+            for name in self._term_names
+        ]
+
     def init_state(self, num_envs: int) -> dict:
         return {name: jnp.zeros((num_envs,)) for name in self._term_names}
 

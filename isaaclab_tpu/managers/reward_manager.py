@@ -44,6 +44,16 @@ class RewardManager(ManagerBase):
             episode_sums=jnp.zeros((num_envs, len(self._term_names)))
         )
 
+    def get_active_iterable_terms(self, state: RewardManagerState,
+                                  env_idx: int):
+        """[(term_name, values)] for one env (reference
+        reward_manager.py:195) — running episodic sum per term (the TPU
+        state keeps sums, not per-step values)."""
+        import numpy as np
+
+        sums = np.asarray(state.episode_sums[env_idx])
+        return [(n, [float(sums[i])]) for i, n in enumerate(self._term_names)]
+
     def compute(self, env, dt: float, state: RewardManagerState):
         """Returns (total_reward (E,), new_state, per_term dict)."""
         values = []

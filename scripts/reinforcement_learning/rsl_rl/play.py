@@ -18,6 +18,12 @@ parser.add_argument("--num_envs", type=int, default=32)
 parser.add_argument("--checkpoint", type=str, default=None)
 parser.add_argument("--logdir", type=str, default="logs/rsl_rl")
 parser.add_argument("--num_steps", type=int, default=500)
+parser.add_argument(
+    "--live_plot", action="store_true",
+    help="print a terminal sparkline dashboard of manager terms "
+    "(headless ManagerLiveVisualizer) every --live_plot_every steps",
+)
+parser.add_argument("--live_plot_every", type=int, default=50)
 AppLauncher.add_app_launcher_args(parser)
 args_cli, _ = parser.parse_known_args()
 app_launcher = AppLauncher(args_cli)
@@ -49,11 +55,20 @@ def main():
     policy = runner.get_inference_policy()
 
     obs, _ = env.reset()
+    visualizer = None
+    if args_cli.live_plot:
+        from isaaclab_tpu.ui import EnvLiveVisualizer
+
+        visualizer = EnvLiveVisualizer(env)
     total_rew = np.zeros(env.num_envs)
-    for _ in range(args_cli.num_steps):
+    for i in range(args_cli.num_steps):
         action = policy(obs["policy"])
         obs, rew, term, trunc, _ = env.step(action)
         total_rew += np.asarray(rew)
+        if visualizer is not None:
+            visualizer.update(env._state)
+            if (i + 1) % args_cli.live_plot_every == 0:
+                print(visualizer.render() + "\n", flush=True)
     print(f"mean return over {args_cli.num_steps} steps: {total_rew.mean():.3f}")
     env.close()
 
