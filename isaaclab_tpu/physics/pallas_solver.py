@@ -172,6 +172,53 @@ def apgd_solve_batched(J_t, MinvJT, b, diag, active_f, mu, lam0, ncon,
 _DISPATCH_CACHE: dict = {}
 
 
+def _solve_chunk_envs(E: int, nv: int, R: int) -> int:
+    """Env-chunk size for the batched APGD solve, 0 = no chunking.
+
+    The APGD fori_loop re-reads its (E, nv, R) operands (J^T and M^-1 J^T)
+    on every one of ~22 matrix-vector products. At flat/rough sizes
+    (E=8192, nv=18, R=108) the two operands are ~100 MB — larger than VMEM
+    — so the latency-hiding scheduler re-stages ~50 MB into scratch every
+    substep at ~21 GB/s (the top two slices of the r5 flat device trace).
+    Chunking the batch with ``lax.map`` keeps each chunk's operands
+    VMEM-resident across the whole iteration. Override with
+    ISAACLAB_TPU_SOLVE_CHUNK (0 disables)."""
+    flag = os.environ.get("ISAACLAB_TPU_SOLVE_CHUNK")
+    if flag is not None:
+        return int(flag)
+    per_env = 2 * nv * R * 4  # J_t + MinvJT bytes
+    budget = 48 * 2**20  # leave VMEM headroom beside the two operands
+    if E * per_env <= 2 * budget:  # small enough to not thrash
+        return 0
+    ec = budget // per_env
+    # round down to a power of two >= 256 for clean reshapes
+    chunk = 256
+    while chunk * 2 <= ec:
+        chunk *= 2
+    return chunk
+
+
+def _chunked_vmap_solve(xla_fn, args, axis_size):
+    """vmap(xla_fn) over the batch, optionally in sequential env chunks
+    (lax.map) so the solve's operands stay VMEM-resident. See
+    :func:`_solve_chunk_envs`."""
+    J_t = args[0]
+    _, nv, R = J_t.shape
+    chunk = _solve_chunk_envs(axis_size, nv, R)
+    if chunk <= 0 or axis_size <= chunk:
+        return jax.vmap(xla_fn)(*args)
+    pad = (-axis_size) % chunk
+    if pad:
+        args = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                for a in args]
+    C = (axis_size + pad) // chunk
+    chunked = [a.reshape((C, chunk) + a.shape[1:]) for a in args]
+
+    lam = jax.lax.map(lambda ops: jax.vmap(xla_fn)(*ops), tuple(chunked))
+    lam = lam.reshape((C * chunk,) + lam.shape[2:])
+    return lam[:axis_size]
+
+
 def make_apgd_dispatch(ncon: int, n_lim: int, iterations: int, xla_fn):
     """custom_vmap wrapper: unbatched calls use ``xla_fn`` (the reference
     implementation in solver.py); vmapped calls hit the Pallas kernel when
@@ -202,7 +249,7 @@ def make_apgd_dispatch(ncon: int, n_lim: int, iterations: int, xla_fn):
         if _use_pallas():
             lam = apgd_solve_batched(*args, ncon=ncon, iterations=iterations)
         else:
-            lam = jax.vmap(xla_fn)(*args)
+            lam = _chunked_vmap_solve(xla_fn, args, axis_size)
         return lam, True
 
     _DISPATCH_CACHE[key] = dispatch
