@@ -180,22 +180,16 @@ def _solve_chunk_envs(E: int, nv: int, R: int) -> int:
     (E=8192, nv=18, R=108) the two operands are ~100 MB — larger than VMEM
     — so the latency-hiding scheduler re-stages ~50 MB into scratch every
     substep at ~21 GB/s (the top two slices of the r5 flat device trace).
-    Chunking the batch with ``lax.map`` keeps each chunk's operands
-    VMEM-resident across the whole iteration. Override with
-    ISAACLAB_TPU_SOLVE_CHUNK (0 disables)."""
+    Chunking the batch keeps each chunk's operands VMEM-resident across
+    the whole iteration — but MEASURED it loses badly: flat@8192 dropped
+    169k -> 25.9k env-steps/s with 4x2048 chunks (the sequential chunk
+    loop multiplies the APGD loop latency and the slices still stream
+    from HBM), and shadow@8192 was neutral. Default is therefore OFF;
+    ISAACLAB_TPU_SOLVE_CHUNK=<envs> enables it for experimentation."""
     flag = os.environ.get("ISAACLAB_TPU_SOLVE_CHUNK")
     if flag is not None:
         return int(flag)
-    per_env = 2 * nv * R * 4  # J_t + MinvJT bytes
-    budget = 48 * 2**20  # leave VMEM headroom beside the two operands
-    if E * per_env <= 2 * budget:  # small enough to not thrash
-        return 0
-    ec = budget // per_env
-    # round down to a power of two >= 256 for clean reshapes
-    chunk = 256
-    while chunk * 2 <= ec:
-        chunk *= 2
-    return chunk
+    return 0
 
 
 def _chunked_vmap_solve(xla_fn, args, axis_size):
@@ -212,9 +206,18 @@ def _chunked_vmap_solve(xla_fn, args, axis_size):
         args = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
                 for a in args]
     C = (axis_size + pad) // chunk
-    chunked = [a.reshape((C, chunk) + a.shape[1:]) for a in args]
 
-    lam = jax.lax.map(lambda ops: jax.vmap(xla_fn)(*ops), tuple(chunked))
+    # chunk via dynamic_slice on the ORIGINAL layout — an (C, chunk, ...)
+    # reshape forces a physical transpose copy of every operand per substep
+    # (measured as the top copy-starts in the r5 shadow trace)
+    def body(_, i):
+        ops = [
+            jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
+            for a in args
+        ]
+        return 0, jax.vmap(xla_fn)(*ops)
+
+    _, lam = jax.lax.scan(body, 0, jnp.arange(C))
     lam = lam.reshape((C * chunk,) + lam.shape[2:])
     return lam[:axis_size]
 
