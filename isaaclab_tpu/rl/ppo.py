@@ -160,11 +160,48 @@ def ppo_update(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def minibatch_step(carry, idx):
+    # Pack every field the update reads into ONE (N, F) buffer so each epoch
+    # shuffles with a single row-gather. The previous form gathered 9 arrays
+    # per minibatch (~180 scattered row-gathers per update at ~10 ns/element)
+    # — measured as the whole train column's bottleneck (cartpole train
+    # 14.3k env-steps/s while stepping runs at 21M/s).
+    A = batch.action.shape[-1]
+    obs_dim = batch.obs.shape[-1]
+    cobs_dim = batch.critic_obs.shape[-1]
+    packed = jnp.concatenate(
+        [
+            batch.obs,
+            batch.critic_obs,
+            batch.action,
+            batch.mean,
+            batch.log_prob[:, None],
+            batch.value[:, None],
+            advantages[:, None],
+            returns[:, None],
+        ],
+        axis=-1,
+    )
+
+    def unpack(mb):
+        o = 0
+        obs = mb[:, o:o + obs_dim]; o += obs_dim
+        cobs = mb[:, o:o + cobs_dim]; o += cobs_dim
+        action = mb[:, o:o + A]; o += A
+        mean = mb[:, o:o + A]; o += A
+        log_prob = mb[:, o]; o += 1
+        value = mb[:, o]; o += 1
+        adv = mb[:, o]; o += 1
+        ret = mb[:, o]
+        zeros = jnp.zeros_like(log_prob)
+        trans = Transition(
+            obs=obs, critic_obs=cobs, action=action, log_prob=log_prob,
+            value=value, reward=zeros, done=zeros, time_out=zeros, mean=mean,
+        )
+        return trans, adv, ret
+
+    def minibatch_step(carry, mb_packed):
         params, opt_state, lr = carry
-        mb = jax.tree.map(lambda x: x[idx], batch)
-        adv = advantages[idx]
-        ret = returns[idx]
+        mb, adv, ret = unpack(mb_packed)
         (loss, (pl, vl, ent, kl)), grads = grad_fn(params, mb, adv, ret)
         # collective-friendly: grads are averaged by pmean at the caller when
         # running data-parallel (runner wraps this in shard_map)
@@ -183,10 +220,11 @@ def ppo_update(
 
     def epoch_step(carry, k):
         perm = jax.random.permutation(k, N)
-        idxs = perm[: mb_size * cfg.num_mini_batches].reshape(
-            cfg.num_mini_batches, mb_size
-        )
-        carry, metrics = jax.lax.scan(minibatch_step, carry, idxs)
+        # ONE gather for the whole epoch's shuffle, then minibatches are
+        # contiguous slices (same membership as gathering per minibatch)
+        shuf = packed[perm[: mb_size * cfg.num_mini_batches]]
+        mbs = shuf.reshape(cfg.num_mini_batches, mb_size, -1)
+        carry, metrics = jax.lax.scan(minibatch_step, carry, mbs)
         return carry, metrics
 
     keys = jax.random.split(key, cfg.num_learning_epochs)
