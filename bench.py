@@ -343,6 +343,11 @@ def _run_one(name):
     _emit_row(name, res, proxy)
     if os.environ.get("BENCH_STEP_ONLY"):
         return
+    base_step, base_infer, base_train = BASELINES[name]
+    if base_infer is None and base_train is None:
+        # north-star rows have no reference inference/train columns —
+        # don't spend two more cold compiles on numbers with no baseline
+        return
     # each extra column needs headroom for a cold PPO-graph compile
     if time_left() > 90:
         try:
