@@ -79,22 +79,30 @@ SKIP_THRESHOLD_S = 150.0
 def _sync(x):
     import jax
 
+    # both: block on every output buffer AND force one round trip — over
+    # the axon tunnel either alone can return before queued work completes
+    jax.block_until_ready(jax.tree.leaves(x))
     jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
 
 
 def _time_loop(run, carry, steps_per_call, num_envs, seconds, *, with_key=False):
-    """Time carry -> carry chunks; returns env-steps/s. Sync via device_get
-    of a scalar — over the axon tunnel block_until_ready can return before
-    queued work completes."""
+    """Time carry -> carry chunks; returns env-steps/s.
+
+    TWO fully-synced warmup calls: on the axon backend the first two
+    executions of a large program each take ~15-20 s (server-side
+    finalization) before settling — measured cartpole train: 19.8 s,
+    18.2 s, then 0.06 s steady. A single warmup poisoned every round-5
+    rehearsal train column (train_fps 70-100x under the steady rate)."""
     import jax
 
     key = jax.random.PRNGKey(1)
-    if with_key:
-        key, k = jax.random.split(key)
-        carry = run(carry, k)
-    else:
-        carry = run(carry)
-    _sync(carry)
+    for _ in range(2):
+        if with_key:
+            key, k = jax.random.split(key)
+            carry = run(carry, k)
+        else:
+            carry = run(carry)
+        _sync(carry)
     n_calls = 0
     t0 = time.perf_counter()
     while True:
