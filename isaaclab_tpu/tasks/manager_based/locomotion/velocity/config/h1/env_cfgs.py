@@ -43,6 +43,7 @@ class H1RoughEnvCfg(LocomotionVelocityRoughEnvCfg):
 class H1FlatEnvCfg(H1RoughEnvCfg):
     def __post_init__(self):
         super().__post_init__()
+        self.sim.max_active_contacts = 0  # K=12 loses on plane terrain (r5 A/B)
         self.scene.terrain = TerrainImporterCfg(terrain_type="plane")
         self.scene.height_scanner = None
         self.observations.policy.height_scan = None

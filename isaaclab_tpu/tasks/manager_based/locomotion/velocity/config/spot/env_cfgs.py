@@ -35,6 +35,7 @@ class SpotRoughEnvCfg(LocomotionVelocityRoughEnvCfg):
 class SpotFlatEnvCfg(SpotRoughEnvCfg):
     def __post_init__(self):
         super().__post_init__()
+        self.sim.max_active_contacts = 0  # K=12 loses on plane terrain (r5 A/B)
         self.scene.terrain = TerrainImporterCfg(terrain_type="plane")
         self.scene.height_scanner = None
         self.observations.policy.height_scan = None

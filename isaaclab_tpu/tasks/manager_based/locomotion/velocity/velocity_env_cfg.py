@@ -281,9 +281,12 @@ class LocomotionVelocityRoughEnvCfg(ManagerBasedRLEnvCfg):
         self.episode_length_s = 20.0
         self.sim.dt = 0.005
         self.sim.render_interval = self.decimation
-        # active-set compaction measured NET-NEGATIVE here (41.5k vs 52.6k
-        # env-steps/s at 4096 envs, r4 A/B): at quadruped sizes the solve is
-        # not the bottleneck and the top-k/gather/scatter overhead dominates
-        # the saved HBM traffic. Left off; ISAACLAB_TPU_ACTIVE_CONTACTS
-        # overrides for experiments.
-        self.sim.max_active_contacts = 0
+        # active-set compaction: the r4 A/B measured it net-negative here,
+        # but that predated the corner-packed terrain gathers — the r5 A/B
+        # (artifacts/r05/rough_k12.jsonl) measures K=12 at 126.0k vs 100.2k
+        # env-steps/s at 4096 envs (+26%). Lossless while <= 12 candidates
+        # actually touch (a trotting quadruped has 4-8); the deepest rows
+        # are kept when oversubscribed (tests/test_active_set.py). Flat
+        # variants set this back to 0: at 8192 plane envs the top-k cost
+        # dominates and K=12 measured -30% (flat_k12.jsonl).
+        self.sim.max_active_contacts = 12
