@@ -63,8 +63,10 @@ class ShadowHandEnvCfg(DirectRLEnvCfg):
     def __post_init__(self):
         self.sim.dt = 1.0 / 120.0
         # active-set compaction: the cube realistically touches palm + a
-        # few phalanx pads at once — 16 of the 40 candidates cover it
-        self.sim.max_active_contacts = 16
+        # few phalanx pads at once — 12 of the 40 candidates cover it.
+        # r5 A/B at 8192 envs: K=12 103.7k / K=16 97.9k / K=0 57.3k
+        # env-steps/s (artifacts/r05/shadow_k12.jsonl, shadow_k0.log)
+        self.sim.max_active_contacts = 12
 
 
 @configclass
